@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Bench harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The measured corpus is the deterministic synthetic tokens table
+(invariantbitpacking_spark.sources.tokens, seed 42) sized by the sf of
+the given dir, plus the tokenize+encode flagship over the sf dir's
+documents table.  Scaling evidence (local[8] vs local[32]) is produced
+by scripts/scaling_bench.py and recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# rows scaled so sf0.1 ~= 40k docs (~40M tokens, ~160 MB raw int32)
+SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
+NUM_ROWS = int(os.environ.get("IBP_BENCH_ROWS", str(max(2000, int(400_000 * SF)))))
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from invariantbitpacking_spark.operators import ibp
+    from invariantbitpacking_spark.session import get_spark
+    from invariantbitpacking_spark.sources.tokens import (
+        generate_tokens_df, tokens_from_documents)
+
+    spark = get_spark("ibp-bench", cores=CPUS, shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # -- corpus (generation/caching is setup, not measured) -------------
+    toks = generate_tokens_df(spark, NUM_ROWS, num_partitions=CPUS * 2)
+    n_docs, n_tokens = toks.agg(
+        F.count(F.lit(1)), F.sum("n_tok")).collect()[0]
+
+    # q1: parameter learning (2 distributed scans + driver sweep)
+    params = timed("q1_learn_params", lambda: ibp.learn_params(toks))
+
+    # q2: encode (the headline)
+    def run_encode():
+        enc = ibp.encode_ibp(toks, params)
+        return enc.agg(F.sum("comp_bytes"), F.sum("raw_bytes"),
+                       F.sum("n_tok"), F.count(F.lit(1))).collect()[0]
+
+    comp_bytes, raw_bytes, tok_sum, docs = timed("q2_encode", run_encode)
+    extras["encode_tokens_per_sec"] = round(tok_sum / timings["q2_encode"], 1)
+    extras["bytes_per_token"] = round(comp_bytes / tok_sum, 4)
+    extras["comp_ratio"] = round(raw_bytes / comp_bytes, 4)
+
+    # q3: decode (from a materialized encoded table)
+    enc_path = os.path.join(
+        os.environ.get("IBP_DATA_DIR", "/tmp/ibp_spark_data"),
+        f"bench_enc_{NUM_ROWS}")
+    ibp.encode_ibp(toks, params).write.mode("overwrite").parquet(enc_path)
+    enc_df = spark.read.parquet(enc_path)
+
+    def run_decode():
+        dec = ibp.decode_ibp(enc_df, params)
+        return dec.agg(F.sum("n_tok"), F.count(F.lit(1))).collect()[0]
+
+    dec_toks, dec_docs = timed("q3_decode", run_decode)
+    extras["decode_tokens_per_sec"] = round(dec_toks / timings["q3_decode"], 1)
+
+    # q4: full round-trip verification (encode+decode+join equality)
+    def run_verify():
+        dec = ibp.decode_ibp(enc_df, params)
+        bad = (toks.alias("a").join(dec.alias("b"), "doc_id")
+               .filter(F.col("a.tokens") != F.col("b.tokens")).count())
+        assert bad == 0, f"{bad} round-trip mismatches"
+        return bad
+
+    timed("q4_roundtrip_verify", run_verify)
+
+    # q5: flagship over the sf dir's documents (tokenize+learn+encode)
+    def run_flagship():
+        t = tokens_from_documents(spark, SF_DIR)
+        p = ibp.learn_params(t)
+        return ibp.encode_ibp(t, p).agg(F.sum("comp_bytes")).collect()[0][0]
+
+    timed("q5_documents_flagship", run_flagship)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "ibp_pipeline_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF,
+        "cpus": CPUS,
+        "docs": int(docs),
+        "tokens": int(tok_sum),
+        **extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

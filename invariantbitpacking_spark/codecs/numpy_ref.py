@@ -59,6 +59,8 @@ __all__ = [
     "encode_matrix",
     "decode_matrix",
     "decode_blob",
+    "encode_concat",
+    "decode_concat",
 ]
 
 
@@ -143,19 +145,25 @@ def count_bits(block: np.ndarray) -> np.ndarray:
     return bits.sum(axis=0, dtype=np.int64)
 
 
-def create_mask(bit_count: np.ndarray, num_vecs: int, threshold: float):
+def create_mask(bit_count: np.ndarray, num_vecs, threshold: float):
     """(mask, bitval) from counts (create_mask, ibp_preproc_kernels.cuh:34-51).
 
     Bit is invariant-1 when ``count > float32(threshold * N)`` (strict),
     invariant-0 when ``count < (1.0 - threshold) * N`` (double, strict) --
     replicating the kernel's mixed float/double promotions.
+
+    ``num_vecs`` may be a scalar (rectangular data — the reference
+    case) or an int array [v] of per-column coverage counts (our ragged
+    tail-block extension, where column j appears in N_j blocks).
     """
     v, w = bit_count.shape
     itemsize = w // 8
     dt = _udtype(itemsize)
     thr32 = np.float32(threshold)
-    hi = bit_count.astype(np.float32) > thr32 * np.float32(num_vecs)
-    lo = bit_count.astype(np.float64) < (1.0 - np.float64(thr32)) * np.float64(num_vecs)
+    nv = np.asarray(num_vecs)
+    nv = nv.reshape(-1, 1) if nv.ndim else nv  # [v,1] broadcast over bits
+    hi = bit_count.astype(np.float32) > thr32 * nv.astype(np.float32)
+    lo = bit_count.astype(np.float64) < (1.0 - np.float64(thr32)) * nv.astype(np.float64)
     weights = (np.uint64(1) << np.arange(w, dtype=np.uint64))  # LSB-first
     mask = ((hi | lo) * weights[None, :]).sum(axis=1).astype(dt)
     bitval = (hi * weights[None, :]).sum(axis=1).astype(dt)
@@ -220,14 +228,18 @@ def preprocess(block: np.ndarray, threshold: float | None = None):
 # Encode (compress_and_write, ibp_compress_dev.cuh:8-97)
 # ---------------------------------------------------------------------------
 
-def encode_matrix(block: np.ndarray, mask: np.ndarray, bitval: np.ndarray):
-    """Encode a [n x v] matrix; whole-batch vectorized.
+def encode_concat(block: np.ndarray, mask: np.ndarray, bitval: np.ndarray):
+    """Encode a [n x v] matrix into one concatenated byte buffer.
 
-    Returns ``(blobs, is_comp, sizes)`` where ``blobs`` is a list of n
-    ``bytes`` (length == sizes[i]), ``is_comp`` a bool[n] (the
-    per-vector bitmask bit, ibp_compress_kernel.cuh:40-42), ``sizes``
-    int64[n] == the §1.4 formula.  Verbatim vectors are raw
+    Returns ``(flat, sizes, is_comp)``: ``flat`` is a uint8 array of
+    length ``sizes.sum()`` holding each vector's blob back-to-back (the
+    condensed layout, compress_condensed_kernel
+    ibp_compress_kernel.cuh:58-94, with offsets = inclusive scan of
+    sizes as in src/compress.cu:284-285), ``sizes`` int64[n] == the
+    §1.4 formula, ``is_comp`` the per-vector bitmask bit
+    (ibp_compress_kernel.cuh:40-42).  Verbatim vectors are raw
     little-endian words (memcpy_warp path, ibp_compress_kernel.cuh:47-50).
+    Whole-batch vectorized; no per-bit Python.
     """
     block_u = _as_unsigned(np.ascontiguousarray(block))
     mask_u = _as_unsigned(np.ascontiguousarray(mask))
@@ -242,28 +254,32 @@ def encode_matrix(block: np.ndarray, mask: np.ndarray, bitval: np.ndarray):
     data = _align(vec_bytes - saved // 8, itemsize)
     sizes = np.minimum(metadata + data, vec_bytes).astype(np.int64)
     is_comp = sizes < vec_bytes
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    flat = np.zeros(int(offsets[-1]), np.uint8)
 
-    le = block_u.astype(block_u.dtype.newbyteorder("<"), copy=False)
-    raw_bytes = np.ascontiguousarray(le).view(np.uint8).reshape(n, vec_bytes)
+    vidx = np.flatnonzero(~is_comp)
+    if vidx.size:
+        le = block_u.astype(block_u.dtype.newbyteorder("<"), copy=False)
+        raw = np.ascontiguousarray(le).view(np.uint8).reshape(n, vec_bytes)
+        tgt = offsets[vidx][:, None] + np.arange(vec_bytes)[None, :]
+        flat[tgt] = raw[vidx]
 
-    blobs: list[bytes] = [b""] * n
     cidx = np.flatnonzero(is_comp)
     if cidx.size:
         cblock = block_u[cidx]
         cpred = pred[cidx]
         m = cidx.size
+        csizes = sizes[cidx]
         # --- header: bit j (byte j//8, bit j%8 LSB-first) = pred[j] ---
         hdr = np.packbits(cpred.astype(np.uint8), axis=1, bitorder="little")
-        hdr_full = np.zeros((m, metadata), np.uint8)
-        hdr_full[:, : hdr.shape[1]] = hdr
-        # --- payload: keep bits where (verbatim) or (mask bit == 0) ---
+        # --- payload: keep bits where (verbatim elem) or (mask bit == 0),
+        # in (element asc, MSB->LSB) order == the CLZ run extraction ---
         bits = _bits_msb(cblock).reshape(m, v * w)
-        mask_bits = _bits_msb(mask_u).reshape(v * w)
-        keep = (~cpred[:, :, None] | (mask_bits.reshape(v, w) == 0)[None, :, :]).reshape(m, v * w)
-        csizes = sizes[cidx]
+        mask_bits = _bits_msb(mask_u)  # [v, w]
+        keep = (~cpred[:, :, None] | (mask_bits == 0)[None, :, :]).reshape(m, v * w)
         # payload section is zero-padded out to the aligned data size
         data_bytes_max = int(csizes.max()) - metadata
-        pos = keep.cumsum(axis=1) - 1  # in-row stream position of each kept bit
+        pos = keep.cumsum(axis=1) - 1  # in-row stream position of kept bits
         stream = np.zeros((m, data_bytes_max * 8), np.uint8)
         rows = np.broadcast_to(np.arange(m)[:, None], keep.shape)
         stream[rows[keep], pos[keep]] = bits[keep]
@@ -271,12 +287,22 @@ def encode_matrix(block: np.ndarray, mask: np.ndarray, bitval: np.ndarray):
         # little-endian but fill from the MSB: ibp_compress_dev.cuh:77-85)
         packed = np.packbits(stream, axis=1)
         payload = packed.reshape(m, -1, itemsize)[:, :, ::-1].reshape(m, -1)
-        full = np.concatenate([hdr_full, payload], axis=1)
-        for k in range(m):
-            i = int(cidx[k])
-            blobs[i] = full[k, : csizes[k]].tobytes()
-    for i in np.flatnonzero(~is_comp):
-        blobs[i] = raw_bytes[i].tobytes()
+        full = np.zeros((m, metadata + data_bytes_max), np.uint8)
+        full[:, : hdr.shape[1]] = hdr
+        full[:, metadata : metadata + payload.shape[1]] = payload
+        col = np.arange(full.shape[1])[None, :]
+        valid = col < csizes[:, None]
+        tgt = offsets[cidx][:, None] + col
+        flat[tgt[valid]] = full[valid]
+    return flat, sizes, is_comp
+
+
+def encode_matrix(block: np.ndarray, mask: np.ndarray, bitval: np.ndarray):
+    """Like :func:`encode_concat` but returns per-vector ``bytes`` blobs
+    ``(blobs, is_comp, sizes)`` — the in-place/per-row layout."""
+    flat, sizes, is_comp = encode_concat(block, mask, bitval)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    blobs = [flat[offsets[i] : offsets[i + 1]].tobytes() for i in range(len(sizes))]
     return blobs, is_comp, sizes
 
 
@@ -293,9 +319,10 @@ def decode_blob(blob: bytes, is_comp: bool, vec_size: int,
     return out[0]
 
 
-def decode_matrix(blobs, is_comp, vec_size: int,
+def decode_concat(flat: np.ndarray, sizes, is_comp, vec_size: int,
                   mask: np.ndarray, bitval: np.ndarray) -> np.ndarray:
-    """Decode n blobs back to a [n x vec_size] unsigned matrix.
+    """Decode n back-to-back blobs (condensed layout) from one uint8
+    buffer back to a [n x vec_size] unsigned matrix.
 
     Batch-vectorized: all compressed rows are decoded with flat fancy
     indexing, no per-bit Python.  (Spark analog of the reference's five
@@ -309,23 +336,30 @@ def decode_matrix(blobs, is_comp, vec_size: int,
     dt = mask_u.dtype
     vec_bytes = v * itemsize
     metadata = _align((v + 7) // 8, itemsize)
-    n = len(blobs)
+    flat = np.asarray(flat, np.uint8)
+    sizes = np.asarray(sizes, np.int64)
     is_comp = np.asarray(is_comp, bool)
+    n = len(sizes)
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
 
     out = np.zeros((n, v), dt)
     vidx = np.flatnonzero(~is_comp)
-    for i in vidx:
-        out[i] = np.frombuffer(blobs[i], dtype=dt.newbyteorder("<"), count=v)
+    if vidx.size:
+        tgt = offsets[vidx][:, None] + np.arange(vec_bytes)[None, :]
+        out[vidx] = (
+            np.ascontiguousarray(flat[tgt]).view(dt.newbyteorder("<")).astype(dt)
+        )
 
     cidx = np.flatnonzero(is_comp)
     if cidx.size == 0:
         return out
     m = cidx.size
-    maxlen = max(len(blobs[i]) for i in cidx)
+    maxlen = int(sizes[cidx].max())
+    col = np.arange(maxlen)[None, :]
+    valid = col < sizes[cidx][:, None]
+    src = offsets[cidx][:, None] + col
     buf = np.zeros((m, maxlen), np.uint8)
-    for k, i in enumerate(cidx):
-        b = blobs[i]
-        buf[k, : len(b)] = np.frombuffer(b, np.uint8)
+    buf[valid] = flat[src[valid]]
 
     hdr = buf[:, : (v + 7) // 8]
     pred = np.unpackbits(hdr, axis=1, bitorder="little")[:, :v].astype(bool)
@@ -356,3 +390,11 @@ def decode_matrix(blobs, is_comp, vec_size: int,
     dec = words.reshape(m, v, itemsize).copy().view(dt.newbyteorder(">")).reshape(m, v)
     out[cidx] = dec.astype(dt)
     return out
+
+
+def decode_matrix(blobs, is_comp, vec_size: int,
+                  mask: np.ndarray, bitval: np.ndarray) -> np.ndarray:
+    """Decode a list of per-vector ``bytes`` blobs (see decode_concat)."""
+    flat = np.frombuffer(b"".join(blobs), np.uint8)
+    sizes = np.array([len(b) for b in blobs], np.int64)
+    return decode_concat(flat, sizes, is_comp, vec_size, mask, bitval)

@@ -1,0 +1,143 @@
+"""Framing of variable-length token sequences into codec blocks.
+
+The reference codec operates on rectangular [num_vecs x vec_size]
+matrices (src/preprocess.cu:23).  Our input rows are variable-length
+``tokens array<int32>``, so each document is split into
+``n_tok // vec_size`` FULL blocks of ``vec_size`` tokens plus (when
+``n_tok % vec_size != 0``) one ragged TAIL block of width
+``L = n_tok % vec_size`` encoded against ``mask[:L]``/``bitval[:L]``.
+
+Ragged tails instead of zero-padding: padding a 60-token document out
+to 128 would *grow* its compressed size past its raw size (the pad
+zeros still cost their residual bits), which at corpus scale wastes
+10-50% on short documents.  On rectangular inputs (every reference
+test vector) framing is the identity and the byte streams stay
+bit-identical to the reference.
+
+All framing is whole-batch vectorized numpy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+VEC_SIZE = 128
+
+
+def gather_ranges(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Concatenate flat[starts[i] : starts[i]+lengths[i]] for all i —
+    vectorized variable-length gather (no per-range Python)."""
+    lengths = np.asarray(lengths, np.int64)
+    starts = np.asarray(starts, np.int64)
+    total = int(lengths.sum())
+    if total == 0:
+        return flat[:0]
+    ends = np.cumsum(lengths)
+    within = np.arange(total, dtype=np.int64) - np.repeat(ends - lengths, lengths)
+    return flat[np.repeat(starts, lengths) + within]
+
+
+@dataclass
+class FramedBatch:
+    """Blocks of one Arrow batch of documents, doc-major order."""
+
+    lens: np.ndarray       # int64[ndocs] token counts
+    nfull: np.ndarray      # int64[ndocs] full-block counts
+    tail_len: np.ndarray   # int64[ndocs] tail width (0 = no tail)
+    nblocks: np.ndarray    # int64[ndocs] = nfull + (tail_len > 0)
+    full_mat: np.ndarray   # uint32 [sum(nfull), vec_size]
+    # tail groups: width L -> (matrix uint32 [nL, L], doc index int64[nL])
+    tails: dict[int, tuple[np.ndarray, np.ndarray]]
+    vec_size: int
+
+
+def frame_batch(token_arrays, vec_size: int = VEC_SIZE) -> FramedBatch:
+    arrs = [np.asarray(a, np.int32) for a in token_arrays]
+    ndocs = len(arrs)
+    lens = np.fromiter((a.size for a in arrs), np.int64, count=ndocs)
+    nfull = lens // vec_size
+    tail_len = lens % vec_size
+    nblocks = nfull + (tail_len > 0)
+
+    tok_flat = (np.concatenate(arrs) if lens.sum() else np.zeros(0, np.int32))
+    doc_tok_start = np.cumsum(lens) - lens
+
+    # full blocks, doc-major
+    full_mat = gather_ranges(tok_flat, doc_tok_start, nfull * vec_size)
+    full_mat = full_mat.reshape(-1, vec_size).view(np.uint32)
+
+    # ragged tails grouped by width
+    tails: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    tdocs = np.flatnonzero(tail_len)
+    if tdocs.size:
+        tstarts = doc_tok_start[tdocs] + nfull[tdocs] * vec_size
+        twidth = tail_len[tdocs]
+        order = np.argsort(twidth, kind="stable")
+        tdocs, tstarts, twidth = tdocs[order], tstarts[order], twidth[order]
+        uniq, grp_start = np.unique(twidth, return_index=True)
+        grp_end = np.append(grp_start[1:], twidth.size)
+        for L, s, e in zip(uniq, grp_start, grp_end):
+            L = int(L)
+            docs = tdocs[s:e]
+            mat = gather_ranges(tok_flat, tstarts[s:e], twidth[s:e])
+            tails[L] = (mat.reshape(-1, L).view(np.uint32), docs)
+
+    return FramedBatch(lens, nfull, tail_len, nblocks, full_mat, tails, vec_size)
+
+
+def unframe_batch(fb: FramedBatch, full_dec: np.ndarray,
+                  tail_dec: dict[int, np.ndarray]) -> list[np.ndarray]:
+    """Rebuild per-document int32 token arrays from decoded full-block
+    and tail-group matrices."""
+    v = fb.vec_size
+    ndocs = len(fb.lens)
+    total = int(fb.lens.sum())
+    flat = np.zeros(total, np.int32)
+    doc_tok_start = np.cumsum(fb.lens) - fb.lens
+    # scatter full blocks
+    full_flat = full_dec.view(np.int32).reshape(-1)
+    tgt = gather_ranges(np.arange(total, dtype=np.int64),
+                        doc_tok_start, fb.nfull * v)
+    flat[tgt] = full_flat
+    # scatter tails
+    for L, (mat, docs) in fb.tails.items():
+        dec = tail_dec[L].view(np.int32).reshape(-1)
+        tstarts = doc_tok_start[docs] + fb.nfull[docs] * v
+        tgt = gather_ranges(np.arange(total, dtype=np.int64),
+                            tstarts, np.full(docs.size, L, np.int64))
+        flat[tgt] = dec
+    return [flat[int(doc_tok_start[i]): int(doc_tok_start[i]) + int(fb.lens[i])]
+            for i in range(ndocs)]
+
+
+# Backwards-compatible rectangular helpers (used by tests / stats on
+# rectangular data).
+
+def frame_tokens(token_arrays, vec_size: int = VEC_SIZE):
+    """Zero-padded rectangular framing: [N x vec_size] plus per-doc
+    block counts.  Retained for stats paths and tests on rectangular
+    data; the encode/decode pipeline uses ragged frame_batch."""
+    fb = frame_batch(token_arrays, vec_size)
+    total_blocks = int(fb.nblocks.sum())
+    out = np.zeros((total_blocks, vec_size), np.uint32)
+    blk_start = np.cumsum(fb.nblocks) - fb.nblocks
+    # place full blocks
+    if fb.full_mat.shape[0]:
+        fidx = gather_ranges(np.arange(total_blocks, dtype=np.int64),
+                             blk_start, fb.nfull)
+        out[fidx] = fb.full_mat
+    for L, (mat, docs) in fb.tails.items():
+        out[blk_start[docs] + fb.nfull[docs], :L] = mat
+    return out, fb.nblocks
+
+
+def unframe_tokens(matrix: np.ndarray, nblocks: np.ndarray, n_toks: np.ndarray):
+    """Inverse of :func:`frame_tokens` (rectangular layout)."""
+    vec_size = matrix.shape[1]
+    flat = matrix.view(np.int32).reshape(-1)
+    doc_blk_start = np.cumsum(nblocks) - nblocks
+    return [flat[int(doc_blk_start[i]) * vec_size:
+                 int(doc_blk_start[i]) * vec_size + int(n_toks[i])]
+            for i in range(len(nblocks))]

@@ -1,0 +1,363 @@
+"""Distributed IBP operators: parameter learning, encode, decode.
+
+Spark-first re-expression of the reference's three hot entry points
+(SURVEY.md §3):
+
+- :func:`learn_params` == ``ibp.preprocess`` (src/preprocess.cu:17-76):
+  one distributed partial+final aggregation for the per-(column, bit)
+  histogram (count_bit_kernel, ibp_preproc_kernels.cuh:8-31), a
+  driver-side numpy mask construction per threshold
+  (create_mask, :34-51), then ONE more distributed pass evaluating all
+  swept thresholds simultaneously (check_feats, :54-77) — strictly
+  fewer scans than the reference's 1 + |grid| kernel launches.
+- :func:`encode_ibp` == ``compress_condensed`` (src/compress.cu:238-313):
+  an Arrow-batched ``mapInPandas`` projection producing per-document
+  binary payloads; no shuffle, no driver collection.
+- :func:`decode_ibp` == ``decompress_fetch`` (src/decompress.cu:10-142):
+  the inverse projection; gather-by-id variants compose with a plain
+  DataFrame join upstream.
+
+Documents are framed into full ``vec_size`` blocks plus one ragged
+tail block (see operators/framing.py); tail blocks of width L use
+``mask[:L]``/``bitval[:L]``, so rectangular inputs remain bit-identical
+to the reference while short documents pay no padding tax.
+
+Codec parameters ride to executors inside the UDF closure (they are
+``vec_size`` words — broadcast-variable semantics without the
+ceremony).  All hot loops are whole-batch numpy over Arrow data.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs import numpy_ref as nr
+from .framing import VEC_SIZE, FramedBatch, frame_batch, gather_ranges, unframe_batch
+
+
+@dataclass
+class IbpParams:
+    """The learned codec parameters — the reference's (mask, bitval)
+    'IR' (SURVEY.md §3.1) plus provenance for lineage records."""
+
+    mask: np.ndarray  # uint32 [vec_size]
+    bitval: np.ndarray  # uint32 [vec_size]
+    vec_size: int = VEC_SIZE
+    threshold: float | None = None
+    saved_bits: int = 0
+    num_vecs: int = 0
+
+    def to_dict(self) -> dict:
+        return {
+            "vec_size": self.vec_size,
+            "threshold": self.threshold,
+            "saved_bits": int(self.saved_bits),
+            "num_vecs": int(self.num_vecs),
+            "mask": self.mask.tolist(),
+            "bitval": self.bitval.tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "IbpParams":
+        return cls(
+            mask=np.array(d["mask"], np.uint32),
+            bitval=np.array(d["bitval"], np.uint32),
+            vec_size=int(d["vec_size"]),
+            threshold=d.get("threshold"),
+            saved_bits=int(d.get("saved_bits", 0)),
+            num_vecs=int(d.get("num_vecs", 0)),
+        )
+
+
+# ---------------------------------------------------------------------------
+# learn_params (preprocess)
+# ---------------------------------------------------------------------------
+
+def _batch_counts(fb: FramedBatch, vec_size: int):
+    """Set-bit counts [v,32] + per-column block coverage [v]."""
+    counts = np.zeros((vec_size, 32), np.int64)
+    cov = np.zeros(vec_size, np.int64)
+    if fb.full_mat.shape[0]:
+        counts += nr.count_bits(fb.full_mat)
+        cov += fb.full_mat.shape[0]
+    for L, (mat, _) in fb.tails.items():
+        counts[:L] += nr.count_bits(mat)
+        cov[:L] += mat.shape[0]
+    return counts, cov
+
+
+def bit_count_df(df: DataFrame, tokens_col: str = "tokens",
+                 vec_size: int = VEC_SIZE) -> DataFrame:
+    """Distributed per-(column, bit) set-count histogram as a DataFrame
+    ``(pos int, cnt long)``: ``pos = col * 32 + bit`` (LSB-first bit
+    index) for set counts, plus ``pos = vec_size*32 + col`` rows
+    carrying per-column block coverage (how many blocks include that
+    column — needed because ragged tails cover a prefix of columns),
+    and a sentinel ``pos = -1`` with the total block count.  Partial
+    sums per Arrow batch + a small-key final ``groupBy`` = the exact
+    partial/final shape of count_bit_kernel's shmem-then-atomicAdd
+    scheme (ibp_preproc_kernels.cuh:8-31)."""
+
+    def counter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fb = frame_batch(pdf[tokens_col].values, vec_size)
+            counts, cov = _batch_counts(fb, vec_size)
+            yield pd.DataFrame({
+                "pos": np.concatenate(
+                    [[-1], np.arange(vec_size * 32 + vec_size)]),
+                "cnt": np.concatenate(
+                    [[int(fb.nblocks.sum())], counts.reshape(-1), cov]),
+            })
+
+    partial = df.select(tokens_col).mapInPandas(counter, schema="pos int, cnt long")
+    return partial.groupBy("pos").agg(F.sum("cnt").alias("cnt"))
+
+
+def _gated_savings(mat: np.ndarray, mask: np.ndarray, bitval: np.ndarray,
+                   mask_popc: np.ndarray) -> int:
+    """check_feats semantics (ibp_preproc_kernels.cuh:54-77): per-block
+    savings count only when strictly above the block's header bits."""
+    L = mat.shape[1]
+    pred = (mat & mask[None, :L]) == bitval[None, :L]
+    per_vec = (pred * mask_popc[None, :L]).sum(axis=1, dtype=np.int64)
+    return int(np.where(per_vec > L, per_vec - L, 0).sum())
+
+
+def learn_params(df: DataFrame, tokens_col: str = "tokens",
+                 vec_size: int = VEC_SIZE, threshold: float | None = None,
+                 sample_fraction: float | None = None,
+                 seed: int = 42) -> IbpParams:
+    """Learn (mask, bitval) over the whole table (or a sample — the
+    reference's sens_sweep fits on a prefix sample, tests/sens_sweep.py:
+    20-24; ``df.sample`` is the distribution-safe analog)."""
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+
+    rows = bit_count_df(df, tokens_col, vec_size).collect()
+    counts = np.zeros(vec_size * 32, np.int64)
+    cov = np.zeros(vec_size, np.int64)
+    num_vecs = 0
+    for r in rows:
+        if r["pos"] == -1:
+            num_vecs = int(r["cnt"])
+        elif r["pos"] >= vec_size * 32:
+            cov[r["pos"] - vec_size * 32] = r["cnt"]
+        else:
+            counts[r["pos"]] = r["cnt"]
+    counts = counts.reshape(vec_size, 32)
+    if num_vecs == 0:
+        z = np.zeros(vec_size, np.uint32)
+        return IbpParams(z, z.copy(), vec_size, None, 0, 0)
+
+    grid = [threshold] if threshold is not None else nr.sweep_thresholds()
+    cands = [nr.create_mask(counts, cov, t) for t in grid]
+    masks = np.stack([m for m, _ in cands])        # [G, v]
+    bitvals = np.stack([b for _, b in cands])      # [G, v]
+    mask_popc = np.stack([nr._popcount(m) for m in masks])  # [G, v]
+
+    # Single evaluation pass for ALL thresholds: per batch, per-block
+    # gated savings (ibp_preproc_kernels.cuh:69-72) summed per candidate.
+    def evaluator(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fb = frame_batch(pdf[tokens_col].values, vec_size)
+            saveds = np.zeros(len(grid), np.int64)
+            for g in range(len(grid)):
+                if fb.full_mat.shape[0]:
+                    saveds[g] += _gated_savings(
+                        fb.full_mat, masks[g], bitvals[g], mask_popc[g])
+                for L, (mat, _) in fb.tails.items():
+                    saveds[g] += _gated_savings(
+                        mat, masks[g], bitvals[g], mask_popc[g])
+            yield pd.DataFrame({"ti": np.arange(len(grid)), "saved": saveds})
+
+    ev = (
+        df.select(tokens_col)
+        .mapInPandas(evaluator, schema="ti int, saved long")
+        .groupBy("ti").agg(F.sum("saved").alias("saved"))
+        .collect()
+    )
+    saved_by_t = np.zeros(len(grid), np.int64)
+    for r in ev:
+        saved_by_t[r["ti"]] = r["saved"]
+
+    # strict improvement, earlier threshold wins ties
+    # (ibp_preproc_host.cuh:92-95)
+    best_g, best_saved = None, 0
+    for g in range(len(grid)):
+        if saved_by_t[g] > best_saved:
+            best_g, best_saved = g, int(saved_by_t[g])
+    if best_g is None:
+        z = np.zeros(vec_size, np.uint32)
+        return IbpParams(z, z.copy(), vec_size, None, 0, num_vecs)
+    return IbpParams(masks[best_g].copy(), bitvals[best_g].copy(), vec_size,
+                     float(grid[best_g]), best_saved, num_vecs)
+
+
+# ---------------------------------------------------------------------------
+# encode / decode
+# ---------------------------------------------------------------------------
+
+ENCODED_SCHEMA = (
+    "doc_id string, source string, n_tok int, n_blocks int, "
+    "block_sizes array<int>, block_flags binary, payload binary, "
+    "comp_bytes long, raw_bytes long, codec string"
+)
+
+
+def encode_batch(fb: FramedBatch, mask: np.ndarray, bitval: np.ndarray):
+    """Encode one framed batch; returns per-doc (payloads bytes list,
+    block_sizes list, block_flags bytes list, comp_bytes int64[])."""
+    v = fb.vec_size
+    ndocs = len(fb.lens)
+    flat_full, sizes_full, comp_full = nr.encode_concat(
+        fb.full_mat, mask, bitval)
+    full_byte_off = np.concatenate([[0], np.cumsum(sizes_full)])
+    full_start = np.cumsum(fb.nfull) - fb.nfull
+
+    tail_payload: list = [b""] * ndocs
+    tail_size = np.zeros(ndocs, np.int64)
+    tail_comp = np.zeros(ndocs, bool)
+    for L, (mat, docs) in fb.tails.items():
+        tflat, tsizes, tcomp = nr.encode_concat(mat, mask[:L], bitval[:L])
+        toff = np.concatenate([[0], np.cumsum(tsizes)])
+        for k, d in enumerate(docs):
+            tail_payload[d] = tflat[toff[k]:toff[k + 1]]
+        tail_size[docs] = tsizes
+        tail_comp[docs] = tcomp
+
+    payloads, bsizes, bflags = [], [], []
+    comp_bytes = np.zeros(ndocs, np.int64)
+    for i in range(ndocs):
+        f0, f1 = int(full_start[i]), int(full_start[i] + fb.nfull[i])
+        fseg = flat_full[full_byte_off[f0]:full_byte_off[f1]]
+        sz = sizes_full[f0:f1]
+        fl = comp_full[f0:f1]
+        if fb.tail_len[i]:
+            payloads.append(fseg.tobytes() + tail_payload[i].tobytes())
+            bsizes.append(np.append(sz, tail_size[i]).astype(np.int32))
+            fl = np.append(fl, tail_comp[i])
+        else:
+            payloads.append(fseg.tobytes())
+            bsizes.append(sz.astype(np.int32))
+        bflags.append(np.packbits(fl.astype(np.uint8), bitorder="little").tobytes())
+        comp_bytes[i] = int(bsizes[-1].sum())
+    return payloads, bsizes, bflags, comp_bytes
+
+
+def encode_ibp(df: DataFrame, params: IbpParams,
+               tokens_col: str = "tokens") -> DataFrame:
+    """Encode the tokens table into per-document condensed blobs.
+
+    Output row = one document: ``payload`` holds its blocks'
+    back-to-back blobs (full blocks then the ragged tail),
+    ``block_sizes`` their byte sizes, ``block_flags`` the per-block
+    compressed bitmap (LSB-first — the reference's ``bitmask`` int32
+    array, src/compress.cu:214-215).  A pure narrow projection."""
+    mask, bitval, v = params.mask, params.bitval, params.vec_size
+
+    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fb = frame_batch(pdf[tokens_col].values, v)
+            payloads, bsizes, bflags, comp_bytes = encode_batch(fb, mask, bitval)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                # n_tok recomputed from the arrays: decode trims by it
+                "n_tok": fb.lens.astype("int32"),
+                "n_blocks": fb.nblocks.astype("int32"),
+                "block_sizes": bsizes,
+                "block_flags": bflags,
+                "payload": payloads,
+                "comp_bytes": comp_bytes,
+                "raw_bytes": fb.lens * 4,
+                "codec": "ibp",
+            })
+
+    cols = ["doc_id", tokens_col, "source"]
+    return df.select(*cols).mapInPandas(encoder, schema=ENCODED_SCHEMA)
+
+
+def decode_ibp(df: DataFrame, params: IbpParams) -> DataFrame:
+    """Decode an encoded table back to ``(doc_id, tokens, n_tok,
+    source)`` — per-row inverse, bit-identical token arrays."""
+    mask, bitval, v = params.mask, params.bitval, params.vec_size
+
+    def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ndocs = len(pdf)
+            lens = pdf["n_tok"].values.astype(np.int64)
+            nfull = lens // v
+            tail_len = lens % v
+            nblocks = nfull + (tail_len > 0)
+            empty = pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "tokens": [np.zeros(0, np.int32)] * ndocs,
+                "n_tok": pdf["n_tok"].astype("int32"),
+                "source": pdf["source"],
+            })
+            if ndocs == 0 or nblocks.sum() == 0:
+                yield empty
+                continue
+            sizes = np.concatenate(
+                [np.asarray(s, np.int64) for s in pdf["block_sizes"].values])
+            flat = np.frombuffer(
+                b"".join(pdf["payload"].values.tolist()), np.uint8)
+            offsets = np.cumsum(sizes) - sizes
+            # per-doc flag bitmaps are byte-padded; unpack per doc width
+            bits = np.unpackbits(np.frombuffer(
+                b"".join(pdf["block_flags"].values.tolist()), np.uint8),
+                bitorder="little")
+            doc_flag_bits = ((nblocks + 7) // 8) * 8
+            fb_start = np.cumsum(doc_flag_bits) - doc_flag_bits
+            blk_start = np.cumsum(nblocks) - nblocks
+            within = (np.arange(int(nblocks.sum()), dtype=np.int64)
+                      - np.repeat(blk_start, nblocks))
+            is_comp = bits[np.repeat(fb_start, nblocks) + within].astype(bool)
+
+            doc_of_block = np.repeat(np.arange(ndocs), nblocks)
+            is_tail = (tail_len[doc_of_block] > 0) & (
+                within == (nblocks[doc_of_block] - 1))
+
+            # full blocks: one vectorized decode
+            fsel = ~is_tail
+            fbuf = gather_ranges(flat, offsets[fsel], sizes[fsel])
+            full_dec = nr.decode_concat(
+                fbuf, sizes[fsel], is_comp[fsel], v, mask, bitval)
+
+            # tails grouped by width
+            tail_dec: dict[int, np.ndarray] = {}
+            tails: dict[int, tuple] = {}
+            tsel = np.flatnonzero(is_tail)
+            if tsel.size:
+                widths = tail_len[doc_of_block[tsel]]
+                order = np.argsort(widths, kind="stable")
+                tsel, widths = tsel[order], widths[order]
+                uniq, gs = np.unique(widths, return_index=True)
+                ge = np.append(gs[1:], widths.size)
+                for L, s, e in zip(uniq, gs, ge):
+                    L = int(L)
+                    sel = tsel[s:e]
+                    buf = gather_ranges(flat, offsets[sel], sizes[sel])
+                    tail_dec[L] = nr.decode_concat(
+                        buf, sizes[sel], is_comp[sel], L, mask[:L], bitval[:L])
+                    tails[L] = (None, doc_of_block[sel])
+
+            fb = FramedBatch(lens, nfull, tail_len, nblocks,
+                             full_dec, tails, v)
+            toks = unframe_batch(fb, full_dec, tail_dec)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "tokens": toks,
+                "n_tok": pdf["n_tok"].astype("int32"),
+                "source": pdf["source"],
+            })
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    return df.select("doc_id", "n_blocks", "block_sizes", "block_flags",
+                     "payload", "n_tok", "source").mapInPandas(decoder, schema=schema)

@@ -1,0 +1,137 @@
+"""End-to-end Spark pipeline: learn -> encode -> decode -> identity.
+
+Mirrors the reference's core round-trip invariant
+(tests/compress_test.py:20-24) at the DataFrame level, plus agreement
+between the distributed path and the single-process numpy reference.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from invariantbitpacking_spark.codecs import numpy_ref as nr
+from invariantbitpacking_spark.operators.framing import frame_tokens
+from invariantbitpacking_spark.operators import ibp
+
+
+@pytest.fixture(scope="module")
+def params(tokens_df):
+    return ibp.learn_params(tokens_df)
+
+
+def test_learn_params_matches_local_ragged(spark, tokens_df, params):
+    """Distributed learn == single-process learn over ragged frames."""
+    from invariantbitpacking_spark.operators.framing import frame_batch
+    from invariantbitpacking_spark.operators.ibp import (
+        _batch_counts, _gated_savings)
+
+    local = tokens_df.orderBy("doc_id").select("tokens").toPandas()
+    fb = frame_batch(local["tokens"].values)
+    counts, cov = _batch_counts(fb, 128)
+    best, best_saved = None, 0
+    for t in nr.sweep_thresholds():
+        m, b = nr.create_mask(counts, cov, t)
+        popc = nr._popcount(m)
+        saved = _gated_savings(fb.full_mat, m, b, popc) + sum(
+            _gated_savings(mat, m, b, popc) for mat, _ in fb.tails.values())
+        if saved > best_saved:
+            best, best_saved = (m, b, t), saved
+    mask, bitval, theta = best
+    np.testing.assert_array_equal(params.mask, mask)
+    np.testing.assert_array_equal(params.bitval, bitval)
+    assert params.saved_bits == best_saved
+    assert params.threshold == pytest.approx(theta)
+    assert params.num_vecs == int(fb.nblocks.sum())
+
+
+def test_learn_params_rectangular_matches_reference(spark):
+    """On rectangular input (every doc a multiple of vec_size) the
+    distributed learner reproduces the numpy reference preprocess
+    (= the CUDA preproc_data semantics) exactly."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(50):
+        n = int(rng.integers(1, 5)) * 128
+        toks = rng.integers(0, 2**31 // 100, n, dtype=np.int64).astype(np.int32)
+        rows.append((f"r{i:04d}", toks.tolist(), n, "semidense"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    p = ibp.learn_params(df)
+    mat, _ = frame_tokens([np.array(r[1], np.int32) for r in rows])
+    mask, bitval, theta, saved = nr.preprocess(mat)
+    np.testing.assert_array_equal(p.mask, mask)
+    np.testing.assert_array_equal(p.bitval, bitval)
+    assert p.saved_bits == saved and p.threshold == pytest.approx(theta)
+
+
+def test_roundtrip_identity(spark, tokens_df, params):
+    enc = ibp.encode_ibp(tokens_df, params)
+    dec = ibp.decode_ibp(enc, params)
+    joined = (
+        tokens_df.alias("a")
+        .join(dec.alias("b"), "doc_id")
+        .select(
+            F.col("a.doc_id"),
+            (F.col("a.tokens") == F.col("b.tokens")).alias("ok"),
+            (F.col("a.n_tok") == F.col("b.n_tok")).alias("nok"),
+        )
+    )
+    total = tokens_df.count()
+    assert joined.count() == total
+    assert joined.filter(~F.col("ok") | ~F.col("nok")).count() == 0
+
+
+def test_sizes_match_formula_and_never_expand(spark, tokens_df, params):
+    enc = ibp.encode_ibp(tokens_df, params).cache()
+    # per-doc payload length == sum(block_sizes) == comp_bytes
+    bad = enc.filter(
+        (F.length("payload") != F.col("comp_bytes"))
+        | (F.aggregate("block_sizes", F.lit(0).cast("long"), lambda a, x: a + x)
+           != F.col("comp_bytes"))
+    ).count()
+    assert bad == 0
+    # ragged framing never expands beyond the exact raw token bytes
+    bad2 = enc.filter(F.col("comp_bytes") > F.col("raw_bytes")).count()
+    assert bad2 == 0
+    # distributed sizes equal the local single-process encode, doc by doc
+    from invariantbitpacking_spark.operators.framing import frame_batch
+    from invariantbitpacking_spark.operators.ibp import encode_batch
+
+    local = tokens_df.orderBy("doc_id").select("doc_id", "tokens").toPandas()
+    fb = frame_batch(local["tokens"].values)
+    _, _, _, comp_bytes = encode_batch(fb, params.mask, params.bitval)
+    expect = {local["doc_id"][i]: int(comp_bytes[i]) for i in range(len(local))}
+    got = {r["doc_id"]: r["comp_bytes"] for r in enc.select("doc_id", "comp_bytes").collect()}
+    assert got == expect
+    enc.unpersist()
+
+
+def test_payload_bit_identical_to_reference(spark):
+    """For rectangular documents the distributed encoder's payload bytes
+    equal the numpy reference codec's condensed stream exactly."""
+    rng = np.random.default_rng(9)
+    rows = []
+    for i in range(40):
+        n = int(rng.integers(1, 4)) * 128
+        toks = rng.integers(0, 2**31 // 100, n, dtype=np.int64).astype(np.int32)
+        rows.append((f"r{i:04d}", toks.tolist(), n, "semidense"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    params = ibp.learn_params(df)
+    enc = ibp.encode_ibp(df, params)
+    got = {r["doc_id"]: bytes(r["payload"])
+           for r in enc.select("doc_id", "payload").collect()}
+    for i, (doc_id, toks, n, _) in enumerate(rows):
+        mat = np.array(toks, np.int32).reshape(-1, 128)
+        flat, sizes, _ = nr.encode_concat(mat, params.mask, params.bitval)
+        assert got[doc_id] == flat.tobytes(), doc_id
+
+
+def test_empty_and_single_token_docs(spark):
+    rows = [("d0", [], 0, "edge"), ("d1", [5], 1, "edge"),
+            ("d2", list(range(128)), 128, "edge"),
+            ("d3", list(range(129)), 129, "edge")]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    p = ibp.learn_params(df)
+    dec = ibp.decode_ibp(ibp.encode_ibp(df, p), p).orderBy("doc_id").collect()
+    assert [r["tokens"] for r in dec] == [r[1] for r in rows]
