@@ -1,0 +1,154 @@
+"""Word-level fast path for the IBP codec.
+
+The general encoder/decoder in ``numpy_ref`` works at bit granularity
+(unpackbits) to support arbitrary per-element compressed/verbatim
+interleavings.  But the overwhelmingly common case in a token corpus is
+a block where EVERY element passes the invariance predicate ("all-pass"
+rows): then the bitstream layout is fixed — per-column residual widths
+``w_j = 32 - popcount(mask_j)`` at fixed bit offsets — and both
+directions reduce to a handful of shift/mask word operations per
+column (grouped over columns sharing the same mask word, which for
+token data is usually all of them).
+
+This reproduces the reference format bit-for-bit; it is a faster
+evaluation strategy, not a different codec (cf. the reference's own
+impl-selection between warp- and threadblock-parallel decode kernels,
+ibp_decompress_host.cuh:15-26 — same stream, different execution).
+
+Byte-identity with the general path is enforced by tests and by
+construction: stream bit p lands in little-endian word p//32 at bit
+31 - p%32 (ibp_compress_dev.cuh:74-92).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = ["FastLayout", "encode_allpass", "decode_allpass"]
+
+
+def _align(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+class FastLayout:
+    """Precomputed fixed layout for all-pass rows of one (mask, bitval)."""
+
+    def __init__(self, mask: np.ndarray, bitval: np.ndarray):
+        mask = np.ascontiguousarray(mask).view(np.uint32)
+        bitval = np.ascontiguousarray(bitval).view(np.uint32)
+        v = mask.size
+        self.mask, self.bitval, self.v = mask, bitval, v
+        mbits = np.unpackbits(mask[:, None].view(np.uint8), axis=1,
+                              bitorder="little")[:, :32]  # LSB-first [v,32]
+        popc = mbits.sum(axis=1).astype(np.int64)
+        self.widths = 32 - popc                      # residual bits per col
+        self.offsets = np.cumsum(self.widths) - self.widths  # stream bit offs
+        self.total_bits = int(self.widths.sum())
+        self.saved_bits = int(popc.sum())
+        self.metadata = _align((v + 7) // 8, 4)
+        data = _align(v * 4 - self.saved_bits // 8, 4)
+        self.comp_size = min(self.metadata + data, v * 4)
+        self.is_smaller = self.comp_size < v * 4
+        self.data_bytes = self.comp_size - self.metadata
+        self.n_words = self.data_bytes // 4
+
+        # constant all-pass header: every element's bit set
+        hdr = np.zeros(self.metadata, np.uint8)
+        ones = np.packbits(np.ones(v, np.uint8), bitorder="little")
+        hdr[: ones.size] = ones
+        self.header = hdr
+
+        # free-bit runs per distinct mask word, MSB-first: list of
+        # (src_lsb_shift, run_len, dst_lsb_shift) such that
+        # residual |= ((val >> src) & ((1<<len)-1)) << dst
+        self.col_groups: list[tuple[np.ndarray, int, list]] = []
+        uniq, inv = np.unique(mask, return_inverse=True)
+        for u_i, m_word in enumerate(uniq):
+            cols = np.flatnonzero(inv == u_i)
+            runs = []
+            w = int(32 - bin(int(m_word)).count("1"))
+            dst = w
+            bit = 31
+            m_int = int(m_word)
+            while bit >= 0:
+                if (m_int >> bit) & 1:
+                    bit -= 1
+                    continue
+                run_end = bit
+                while bit >= 0 and not ((m_int >> bit) & 1):
+                    bit -= 1
+                run_len = run_end - bit
+                src = bit + 1
+                dst -= run_len
+                runs.append((src, run_len, dst))
+            self.col_groups.append((cols, w, runs))
+
+
+def _residuals(block_u: np.ndarray, layout: FastLayout) -> np.ndarray:
+    """[n, v] uint32 residuals (LSB-aligned, width widths[j])."""
+    r = np.zeros(block_u.shape, np.uint32)
+    for cols, w, runs in layout.col_groups:
+        sub = block_u[:, cols]
+        acc = r[:, cols]
+        for src, ln, dst in runs:
+            acc |= ((sub >> np.uint32(src)) & np.uint32((1 << ln) - 1)) << np.uint32(dst)
+        r[:, cols] = acc
+    return r
+
+
+def encode_allpass(block_u: np.ndarray, layout: FastLayout) -> np.ndarray:
+    """Encode rows known to be all-pass: returns uint8 [n, comp_size]
+    (header + packed payload), bit-identical to the general encoder."""
+    n, v = block_u.shape
+    res = _residuals(block_u, layout).astype(np.uint64)
+    words = np.zeros((n, layout.n_words), np.uint64)
+    for j in range(v):
+        w = int(layout.widths[j])
+        if w == 0:
+            continue
+        off = int(layout.offsets[j])
+        wi, bit_in = off // 32, off % 32
+        r = res[:, j]
+        if bit_in + w <= 32:
+            words[:, wi] |= r << np.uint64(32 - bit_in - w)
+        else:
+            hi_bits = 32 - bit_in
+            words[:, wi] |= r >> np.uint64(w - hi_bits)
+            words[:, wi + 1] |= (r << np.uint64(64 - bit_in - w)) & np.uint64(0xFFFFFFFF)
+    out = np.empty((n, layout.comp_size), np.uint8)
+    out[:, : layout.metadata] = layout.header[None, :]
+    out[:, layout.metadata:] = (
+        words.astype(np.uint32).astype("<u4").view(np.uint8).reshape(n, -1))
+    return out
+
+
+def decode_allpass(payload: np.ndarray, layout: FastLayout) -> np.ndarray:
+    """Decode uint8 [n, comp_size] all-pass rows back to uint32 [n, v]."""
+    n = payload.shape[0]
+    body = np.ascontiguousarray(payload[:, layout.metadata:])
+    words = body.view("<u4").astype(np.uint64)  # [n, n_words]
+    v = layout.v
+    out = np.broadcast_to(layout.bitval, (n, v)).copy()
+    res = np.zeros((n, v), np.uint32)
+    for j in range(v):
+        w = int(layout.widths[j])
+        if w == 0:
+            continue
+        off = int(layout.offsets[j])
+        wi, bit_in = off // 32, off % 32
+        if bit_in + w <= 32:
+            r = (words[:, wi] >> np.uint64(32 - bit_in - w))
+        else:
+            hi_bits = 32 - bit_in
+            r = (words[:, wi] << np.uint64(w - hi_bits)) | (
+                words[:, wi + 1] >> np.uint64(64 - bit_in - w))
+        res[:, j] = (r & np.uint64((1 << w) - 1)).astype(np.uint32)
+    # scatter residual runs back into free positions
+    for cols, w, runs in layout.col_groups:
+        sub = res[:, cols]
+        acc = out[:, cols]
+        for src, ln, dst in runs:
+            acc |= ((sub >> np.uint32(dst)) & np.uint32((1 << ln) - 1)) << np.uint32(src)
+        out[:, cols] = acc
+    return out

@@ -92,6 +92,24 @@ def _align(x, m):
     return (x + m - 1) // m * m
 
 
+_LAYOUT_CACHE: dict = {}
+
+
+def _fast_layout(mask_u: np.ndarray, bitval_u: np.ndarray):
+    """Cached word-level layout for the all-pass fast path (uint32 only)."""
+    if mask_u.dtype.itemsize != 4:
+        return None
+    key = (mask_u.tobytes(), bitval_u.tobytes())
+    lay = _LAYOUT_CACHE.get(key)
+    if lay is None:
+        from .fastpath import FastLayout
+
+        if len(_LAYOUT_CACHE) > 256:
+            _LAYOUT_CACHE.clear()
+        lay = _LAYOUT_CACHE[key] = FastLayout(mask_u, bitval_u)
+    return lay
+
+
 # ---------------------------------------------------------------------------
 # Size formula (ibp_misc_dev.cuh:20-46)
 # ---------------------------------------------------------------------------
@@ -264,7 +282,25 @@ def encode_concat(block: np.ndarray, mask: np.ndarray, bitval: np.ndarray):
         tgt = offsets[vidx][:, None] + np.arange(vec_bytes)[None, :]
         flat[tgt] = raw[vidx]
 
-    cidx = np.flatnonzero(is_comp)
+    # all-pass fast path: fixed layout, word-level shifts (fastpath.py)
+    lay = _fast_layout(mask_u, bitval_u)
+    if lay is not None and lay.is_smaller:
+        fsel = np.flatnonzero(pred.all(axis=1) & is_comp)
+        if fsel.size:
+            from .fastpath import encode_allpass
+
+            rows8 = encode_allpass(block_u[fsel], lay)
+            tgt = offsets[fsel][:, None] + np.arange(lay.comp_size)[None, :]
+            flat[tgt] = rows8
+            is_general = np.ones(n, bool)
+            is_general[fsel] = False
+            is_comp_general = is_comp & is_general
+        else:
+            is_comp_general = is_comp
+    else:
+        is_comp_general = is_comp
+
+    cidx = np.flatnonzero(is_comp_general)
     if cidx.size:
         cblock = block_u[cidx]
         cpred = pred[cidx]
@@ -353,6 +389,27 @@ def decode_concat(flat: np.ndarray, sizes, is_comp, vec_size: int,
     cidx = np.flatnonzero(is_comp)
     if cidx.size == 0:
         return out
+
+    # all-pass fast path: compressed rows whose header is the all-ones
+    # pattern decode via fixed-layout word shifts (fastpath.py)
+    lay = _fast_layout(mask_u, bitval_u)
+    if lay is not None and lay.is_smaller:
+        cand = cidx[sizes[cidx] == lay.comp_size]
+        if cand.size:
+            hidx = offsets[cand][:, None] + np.arange(lay.metadata)[None, :]
+            hdrs = flat[hidx]
+            fast = cand[(hdrs == lay.header[None, :]).all(axis=1)]
+            if fast.size:
+                from .fastpath import decode_allpass
+
+                pidx = offsets[fast][:, None] + np.arange(lay.comp_size)[None, :]
+                out[fast] = decode_allpass(flat[pidx], lay).view(dt)
+                keep = np.ones(len(sizes), bool)
+                keep[fast] = False
+                cidx = np.flatnonzero(is_comp & keep)
+                if cidx.size == 0:
+                    return out
+
     m = cidx.size
     maxlen = int(sizes[cidx].max())
     col = np.arange(maxlen)[None, :]
