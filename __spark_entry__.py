@@ -115,6 +115,43 @@ def q_ibp_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_auto_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codec auto-selector round-trip (dict/RLE/FOR/delta-FOR/IBP/raw
+    per-document choice); oracle asserts every doc decodes identically."""
+    from invariantbitpacking_spark.operators import ibp, selector
+
+    toks = _tokens(spark, sf_dir)
+    params = ibp.learn_params(toks)
+    dec = selector.decode_auto(selector.encode_auto(toks, params), params)
+    joined = (
+        toks.alias("a")
+        .join(dec.alias("b"), "doc_id")
+        .select(
+            F.col("a.source").alias("source"),
+            (F.col("a.tokens") == F.col("b.tokens")).cast("long").alias("ok"),
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ok").alias("ok_docs"),
+    )
+
+
+def q_codec_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-codec document counts and byte accounting from the
+    auto-selector (rows-only check; exact sizes are pytest-verified)."""
+    from invariantbitpacking_spark.operators import ibp, selector
+
+    toks = _tokens(spark, sf_dir)
+    params = ibp.learn_params(toks)
+    enc = selector.encode_auto(toks, params)
+    return (enc.groupBy("codec")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("raw_bytes").alias("raw_bytes"),
+                 F.sum("comp_bytes").alias("comp_bytes"))
+            .orderBy("codec"))
+
+
 def q_lineitem_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selector input statistics: min/max/NDV/count per column."""
     from invariantbitpacking_spark.functions.stats import column_stats
@@ -136,6 +173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_documents": q_tokenize_documents,
         "bitcount_partkey": q_bitcount_partkey,
         "ibp_roundtrip_by_source": q_ibp_roundtrip_by_source,
+        "auto_roundtrip_by_source": q_auto_roundtrip_by_source,
+        "codec_mix": q_codec_mix,
         "ibp_ratio_by_source": q_ibp_ratio_by_source,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
@@ -169,6 +208,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT 32, COUNT(*) FROM lineitem  -- column-0 coverage row
         """,
         "ibp_roundtrip_by_source": """
+            SELECT source,
+                   COUNT(*) AS docs,
+                   COUNT(*) AS ok_docs
+            FROM documents GROUP BY source
+        """,
+        "auto_roundtrip_by_source": """
             SELECT source,
                    COUNT(*) AS docs,
                    COUNT(*) AS ok_docs

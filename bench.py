@@ -89,13 +89,23 @@ def main() -> None:
 
     timed("q4_roundtrip_verify", run_verify)
 
-    # q5: flagship over the sf dir's documents (tokenize+learn+encode)
+    # q5: auto-selected encode across the full codec family
+    def run_auto():
+        from invariantbitpacking_spark.operators import selector
+        enc = selector.encode_auto(toks, params)
+        return enc.agg(F.sum("comp_bytes"), F.sum("n_tok")).collect()[0]
+
+    auto_bytes, auto_toks = timed("q5_encode_auto", run_auto)
+    extras["auto_encode_tokens_per_sec"] = round(auto_toks / timings["q5_encode_auto"], 1)
+    extras["auto_bytes_per_token"] = round(auto_bytes / auto_toks, 4)
+
+    # q6: flagship over the sf dir's documents (tokenize+learn+encode)
     def run_flagship():
         t = tokens_from_documents(spark, SF_DIR)
         p = ibp.learn_params(t)
         return ibp.encode_ibp(t, p).agg(F.sum("comp_bytes")).collect()[0][0]
 
-    timed("q5_documents_flagship", run_flagship)
+    timed("q6_documents_flagship", run_flagship)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -283,6 +283,81 @@ def encode_ibp(df: DataFrame, params: IbpParams,
     return df.select(*cols).mapInPandas(encoder, schema=ENCODED_SCHEMA)
 
 
+def decode_docs(lens: np.ndarray, block_sizes_list, block_flags_list,
+                payload_list, mask: np.ndarray, bitval: np.ndarray,
+                v: int) -> list[np.ndarray]:
+    """Decode a batch of encoded documents to int32 token arrays —
+    the vectorized inverse of :func:`encode_batch`."""
+    ndocs = len(lens)
+    lens = np.asarray(lens, np.int64)
+    nfull = lens // v
+    tail_len = lens % v
+    nblocks = nfull + (tail_len > 0)
+    if ndocs == 0 or nblocks.sum() == 0:
+        return [np.zeros(0, np.int32)] * ndocs
+    sizes = np.concatenate(
+        [np.asarray(s, np.int64) for s in block_sizes_list])
+    flat = np.frombuffer(b"".join(payload_list), np.uint8)
+    offsets = np.cumsum(sizes) - sizes
+    # per-doc flag bitmaps are byte-padded; unpack per doc width
+    bits = np.unpackbits(
+        np.frombuffer(b"".join(block_flags_list), np.uint8),
+        bitorder="little")
+    doc_flag_bits = ((nblocks + 7) // 8) * 8
+    fb_start = np.cumsum(doc_flag_bits) - doc_flag_bits
+    blk_start = np.cumsum(nblocks) - nblocks
+    within = (np.arange(int(nblocks.sum()), dtype=np.int64)
+              - np.repeat(blk_start, nblocks))
+    is_comp = bits[np.repeat(fb_start, nblocks) + within].astype(bool)
+
+    doc_of_block = np.repeat(np.arange(ndocs), nblocks)
+    is_tail = (tail_len[doc_of_block] > 0) & (
+        within == (nblocks[doc_of_block] - 1))
+
+    # full blocks: one vectorized decode
+    fsel = ~is_tail
+    fbuf = gather_ranges(flat, offsets[fsel], sizes[fsel])
+    full_dec = nr.decode_concat(
+        fbuf, sizes[fsel], is_comp[fsel], v, mask, bitval)
+
+    # tails grouped by width
+    tail_dec: dict[int, np.ndarray] = {}
+    tails: dict[int, tuple] = {}
+    tsel = np.flatnonzero(is_tail)
+    if tsel.size:
+        widths = tail_len[doc_of_block[tsel]]
+        order = np.argsort(widths, kind="stable")
+        tsel, widths = tsel[order], widths[order]
+        uniq, gs = np.unique(widths, return_index=True)
+        ge = np.append(gs[1:], widths.size)
+        for L, s, e in zip(uniq, gs, ge):
+            L = int(L)
+            sel = tsel[s:e]
+            buf = gather_ranges(flat, offsets[sel], sizes[sel])
+            tail_dec[L] = nr.decode_concat(
+                buf, sizes[sel], is_comp[sel], L, mask[:L], bitval[:L])
+            tails[L] = (None, doc_of_block[sel])
+
+    fb = FramedBatch(lens, nfull, tail_len, nblocks, full_dec, tails, v)
+    return unframe_batch(fb, full_dec, tail_dec)
+
+
+def predict_sizes_ibp(fb: FramedBatch, mask: np.ndarray,
+                      bitval: np.ndarray) -> np.ndarray:
+    """Per-document IBP compressed size WITHOUT encoding (the
+    get_compress_size operator, src/compress.cu:25-174) — one predicate
+    pass over the framed batch."""
+    ndocs = len(fb.lens)
+    out = np.zeros(ndocs, np.int64)
+    if fb.full_mat.shape[0]:
+        s = nr.comp_sizes_matrix(fb.full_mat, mask, bitval)
+        doc_of_full = np.repeat(np.arange(ndocs), fb.nfull)
+        np.add.at(out, doc_of_full, s)
+    for L, (mat, docs) in fb.tails.items():
+        out[docs] += nr.comp_sizes_matrix(mat, mask[:L], bitval[:L])
+    return out
+
+
 def decode_ibp(df: DataFrame, params: IbpParams) -> DataFrame:
     """Decode an encoded table back to ``(doc_id, tokens, n_tok,
     source)`` — per-row inverse, bit-identical token arrays."""
@@ -290,67 +365,10 @@ def decode_ibp(df: DataFrame, params: IbpParams) -> DataFrame:
 
     def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ndocs = len(pdf)
-            lens = pdf["n_tok"].values.astype(np.int64)
-            nfull = lens // v
-            tail_len = lens % v
-            nblocks = nfull + (tail_len > 0)
-            empty = pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "tokens": [np.zeros(0, np.int32)] * ndocs,
-                "n_tok": pdf["n_tok"].astype("int32"),
-                "source": pdf["source"],
-            })
-            if ndocs == 0 or nblocks.sum() == 0:
-                yield empty
-                continue
-            sizes = np.concatenate(
-                [np.asarray(s, np.int64) for s in pdf["block_sizes"].values])
-            flat = np.frombuffer(
-                b"".join(pdf["payload"].values.tolist()), np.uint8)
-            offsets = np.cumsum(sizes) - sizes
-            # per-doc flag bitmaps are byte-padded; unpack per doc width
-            bits = np.unpackbits(np.frombuffer(
-                b"".join(pdf["block_flags"].values.tolist()), np.uint8),
-                bitorder="little")
-            doc_flag_bits = ((nblocks + 7) // 8) * 8
-            fb_start = np.cumsum(doc_flag_bits) - doc_flag_bits
-            blk_start = np.cumsum(nblocks) - nblocks
-            within = (np.arange(int(nblocks.sum()), dtype=np.int64)
-                      - np.repeat(blk_start, nblocks))
-            is_comp = bits[np.repeat(fb_start, nblocks) + within].astype(bool)
-
-            doc_of_block = np.repeat(np.arange(ndocs), nblocks)
-            is_tail = (tail_len[doc_of_block] > 0) & (
-                within == (nblocks[doc_of_block] - 1))
-
-            # full blocks: one vectorized decode
-            fsel = ~is_tail
-            fbuf = gather_ranges(flat, offsets[fsel], sizes[fsel])
-            full_dec = nr.decode_concat(
-                fbuf, sizes[fsel], is_comp[fsel], v, mask, bitval)
-
-            # tails grouped by width
-            tail_dec: dict[int, np.ndarray] = {}
-            tails: dict[int, tuple] = {}
-            tsel = np.flatnonzero(is_tail)
-            if tsel.size:
-                widths = tail_len[doc_of_block[tsel]]
-                order = np.argsort(widths, kind="stable")
-                tsel, widths = tsel[order], widths[order]
-                uniq, gs = np.unique(widths, return_index=True)
-                ge = np.append(gs[1:], widths.size)
-                for L, s, e in zip(uniq, gs, ge):
-                    L = int(L)
-                    sel = tsel[s:e]
-                    buf = gather_ranges(flat, offsets[sel], sizes[sel])
-                    tail_dec[L] = nr.decode_concat(
-                        buf, sizes[sel], is_comp[sel], L, mask[:L], bitval[:L])
-                    tails[L] = (None, doc_of_block[sel])
-
-            fb = FramedBatch(lens, nfull, tail_len, nblocks,
-                             full_dec, tails, v)
-            toks = unframe_batch(fb, full_dec, tail_dec)
+            toks = decode_docs(
+                pdf["n_tok"].values, pdf["block_sizes"].values,
+                pdf["block_flags"].values.tolist(),
+                pdf["payload"].values.tolist(), mask, bitval, v)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "tokens": toks,

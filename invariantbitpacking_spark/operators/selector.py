@@ -1,0 +1,234 @@
+"""Statistics-driven codec auto-selection (north-rule new work).
+
+Per Arrow batch the selector computes, from column statistics
+(value range -> FOR width, consecutive-diff range -> DFOR width, run
+count -> RLE, per-row cardinality -> DICT, invariance predicate ->
+IBP), the EXACT encoded size of every candidate codec for every
+document, then picks the per-document argmin (deterministic tie-break
+by CODEC_ORDER).  Sizes are closed-form from the stats — no trial
+encodings — so selection costs about one scan.
+
+The reference has a single codec and no selector; its analogous
+decision is the per-vector compress-or-verbatim rule
+(ibp_compress_kernel.cuh:28-31), which survives here inside the IBP
+path, while `raw` below is the document-level never-expand guarantee.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from ..codecs import lightweight as lw
+from ..codecs.bitutil import width_for
+from .framing import frame_batch, gather_ranges
+from .ibp import ENCODED_SCHEMA, IbpParams, decode_docs, encode_batch, predict_sizes_ibp
+
+# raw first so an incompressible document ties (ibp clamps to raw size)
+# resolve to the plain layout; compressible data always beats raw strictly
+CODEC_ORDER = ("raw", "ibp", "dict", "rle", "dfor", "for")
+
+
+def predict_sizes(flat: np.ndarray, lens: np.ndarray, fb,
+                  params: IbpParams) -> dict[str, np.ndarray]:
+    """Exact per-document encoded size for each candidate codec."""
+    lens = np.asarray(lens, np.int64)
+    starts = np.cumsum(lens) - lens
+    nchunks = -(-lens // 8)
+    total = int(lens.sum())
+    out: dict[str, np.ndarray] = {"raw": 4 * lens}
+
+    mn, mx = lw._minmax_per_row(flat, lens)
+    out["for"] = 5 + nchunks * width_for(mx.astype(np.uint64) - mn.astype(np.uint64))
+
+    d = np.empty(total, np.int64)
+    if total:
+        f64 = flat.astype(np.int64)
+        d[1:] = f64[1:] - f64[:-1]
+        d[starts[lens > 0]] = f64[starts[lens > 0]]
+    dmn, dmx = lw._minmax_per_row(d, lens)
+    out["dfor"] = 9 + nchunks * np.minimum(
+        width_for((dmx - dmn).astype(np.uint64)), 32)
+
+    if total:
+        change = np.ones(total, bool)
+        change[1:] = flat[1:] != flat[:-1]
+        change[starts[lens > 0]] = True
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        runs = np.bincount(row_of[change], minlength=len(lens)).astype(np.int64)
+    else:
+        runs = np.zeros(len(lens), np.int64)
+    out["rle"] = 4 + 8 * runs
+
+    # per-row cardinality via one global lexsort
+    if total:
+        row_of = np.repeat(np.arange(len(lens)), lens)
+        order = np.lexsort((flat, row_of))
+        sv, sr = flat[order], row_of[order]
+        new = np.ones(total, bool)
+        new[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
+        card = np.bincount(sr[new], minlength=len(lens)).astype(np.int64)
+    else:
+        card = np.zeros(len(lens), np.int64)
+    dict_sz = 4 + 4 * card + nchunks * width_for(
+        np.maximum(card - 1, 0).astype(np.uint64))
+    dict_sz[card > 0xFFFF] = np.iinfo(np.int64).max  # u16 card limit
+    out["dict"] = dict_sz
+
+    out["ibp"] = predict_sizes_ibp(fb, params.mask, params.bitval)
+    return out
+
+
+def choose_codec(sizes: dict[str, np.ndarray],
+                 allowed: tuple[str, ...] = CODEC_ORDER) -> np.ndarray:
+    """Per-document argmin over candidate sizes; ties go to the earlier
+    entry of CODEC_ORDER.  Returns an int array of CODEC_ORDER indices."""
+    stack = np.stack([
+        sizes[c] if c in allowed else np.full_like(sizes["raw"], np.iinfo(np.int64).max)
+        for c in CODEC_ORDER
+    ])
+    return np.argmin(stack, axis=0)
+
+
+def encode_docs_auto(token_arrays, params: IbpParams,
+                     allowed: tuple[str, ...] = CODEC_ORDER):
+    """Encode one batch of documents with per-document codec choice.
+
+    Returns (codec_names list[str], payloads list[bytes], block_sizes
+    list[np.int32 array], block_flags list[bytes], comp_bytes int64[],
+    lens int64[], nblocks int64[])."""
+    v = params.vec_size
+    fb = frame_batch(token_arrays, v)
+    lens = fb.lens
+    ndocs = len(lens)
+    starts = np.cumsum(lens) - lens
+    flat = (np.concatenate([np.asarray(a, np.int32) for a in token_arrays])
+            if total_of(lens) else np.zeros(0, np.int32)).view(np.uint32)
+    sizes = predict_sizes(flat, lens, fb, params)
+    pick = choose_codec(sizes, allowed)
+
+    payloads: list = [b""] * ndocs
+    bsizes: list = [None] * ndocs
+    bflags: list = [b""] * ndocs
+    comp_bytes = np.zeros(ndocs, np.int64)
+    nblocks_out = np.zeros(ndocs, np.int64)
+    codec_names = [""] * ndocs
+
+    for ci, codec in enumerate(CODEC_ORDER):
+        docs = np.flatnonzero(pick == ci)
+        if docs.size == 0:
+            continue
+        if codec == "ibp":
+            sub_fb = frame_batch([token_arrays[i] for i in docs], v)
+            p, bs, bf, cb = encode_batch(sub_fb, params.mask, params.bitval)
+            for k, dI in enumerate(docs):
+                payloads[dI], bsizes[dI], bflags[dI] = p[k], bs[k], bf[k]
+            comp_bytes[docs] = cb
+            nblocks_out[docs] = sub_fb.nblocks
+        elif codec == "raw":
+            for dI in docs:
+                arr = np.asarray(token_arrays[dI], np.int32)
+                payloads[dI] = arr.astype("<i4").tobytes()
+                bsizes[dI] = np.array([arr.size * 4], np.int32)
+                bflags[dI] = b"\x00"
+            comp_bytes[docs] = 4 * lens[docs]
+            nblocks_out[docs] = 1
+        else:
+            sub_flat = gather_ranges(flat, starts[docs], lens[docs])
+            enc = getattr(lw, f"encode_{codec}")
+            blob, bsz = enc(sub_flat, lens[docs])
+            boff = np.cumsum(bsz) - bsz
+            for k, dI in enumerate(docs):
+                payloads[dI] = blob[boff[k]:boff[k] + bsz[k]].tobytes()
+                bsizes[dI] = np.array([bsz[k]], np.int32)
+                bflags[dI] = b"\x01"
+            comp_bytes[docs] = bsz
+            nblocks_out[docs] = 1
+        for dI in docs:
+            codec_names[dI] = codec
+    return codec_names, payloads, bsizes, bflags, comp_bytes, lens, nblocks_out
+
+
+def total_of(lens) -> int:
+    return int(np.asarray(lens, np.int64).sum())
+
+
+def encode_auto(df: DataFrame, params: IbpParams,
+                tokens_col: str = "tokens",
+                allowed: tuple[str, ...] = CODEC_ORDER) -> DataFrame:
+    """Auto-selected encode: same output schema as encode_ibp, with the
+    ``codec`` column recording the per-document choice."""
+
+    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arrays = list(pdf[tokens_col].values)
+            (codecs, payloads, bsizes, bflags, comp_bytes, lens,
+             nblocks) = encode_docs_auto(arrays, params, allowed)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "source": pdf["source"],
+                "n_tok": lens.astype("int32"),
+                "n_blocks": nblocks.astype("int32"),
+                "block_sizes": bsizes,
+                "block_flags": bflags,
+                "payload": payloads,
+                "comp_bytes": comp_bytes,
+                "raw_bytes": lens * 4,
+                "codec": codecs,
+            })
+
+    cols = ["doc_id", tokens_col, "source"]
+    return df.select(*cols).mapInPandas(encoder, schema=ENCODED_SCHEMA)
+
+
+def decode_auto(df: DataFrame, params: IbpParams) -> DataFrame:
+    """Decode a mixed-codec encoded table (inverse of encode_auto)."""
+    mask, bitval, v = params.mask, params.bitval, params.vec_size
+
+    def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ndocs = len(pdf)
+            lens = pdf["n_tok"].values.astype(np.int64)
+            codecs = pdf["codec"].values
+            toks: list = [None] * ndocs
+            for codec in np.unique(codecs):
+                docs = np.flatnonzero(codecs == codec)
+                if codec == "ibp":
+                    sub = decode_docs(
+                        lens[docs],
+                        [pdf["block_sizes"].values[i] for i in docs],
+                        [pdf["block_flags"].values[i] for i in docs],
+                        [pdf["payload"].values[i] for i in docs],
+                        mask, bitval, v)
+                    for k, dI in enumerate(docs):
+                        toks[dI] = sub[k]
+                elif codec == "raw":
+                    for dI in docs:
+                        toks[dI] = np.frombuffer(
+                            pdf["payload"].values[dI], "<i4").astype(np.int32)
+                else:
+                    blob = np.frombuffer(
+                        b"".join(pdf["payload"].values[i] for i in docs),
+                        np.uint8)
+                    bsz = np.array(
+                        [len(pdf["payload"].values[i]) for i in docs], np.int64)
+                    dec = getattr(lw, f"decode_{codec}")
+                    vals = dec(blob, bsz, lens[docs]).view(np.int32)
+                    voff = np.cumsum(lens[docs]) - lens[docs]
+                    for k, dI in enumerate(docs):
+                        toks[dI] = vals[voff[k]:voff[k] + lens[docs][k]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "tokens": toks,
+                "n_tok": pdf["n_tok"].astype("int32"),
+                "source": pdf["source"],
+            })
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    return df.select("doc_id", "codec", "n_blocks", "block_sizes",
+                     "block_flags", "payload", "n_tok", "source"
+                     ).mapInPandas(decoder, schema=schema)

@@ -1,0 +1,81 @@
+"""Auto-selector: per-document codec choice, round-trip, never-expand."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from invariantbitpacking_spark.operators import ibp, selector
+from invariantbitpacking_spark.operators.framing import frame_batch
+
+
+@pytest.fixture(scope="module")
+def params(tokens_df):
+    return ibp.learn_params(tokens_df)
+
+
+def test_local_choices_match_expectations():
+    rng = np.random.default_rng(3)
+    n = 2048
+    docs = {
+        "runs": np.repeat(rng.integers(0, 1000, n // 16), 16).astype(np.int32),
+        "sorted": np.sort(rng.integers(0, 2**31, n)).astype(np.int32),
+        "lowcard": rng.choice(rng.integers(0, 2**31, 40).astype(np.int32), n),
+        "vocab": rng.integers(0, 32000, n).astype(np.int32),
+        "uniform": rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.int32),
+        "empty": np.zeros(0, np.int32),
+    }
+    arrays = list(docs.values())
+    # learn IBP params on the vocab doc only (typical token corpus)
+    from invariantbitpacking_spark.codecs import numpy_ref as nr
+    mat = docs["vocab"][: (n // 128) * 128].reshape(-1, 128)
+    mask, bitval, _, _ = nr.preprocess(mat.view(np.uint32))
+    p = ibp.IbpParams(mask, bitval)
+    (codecs, payloads, bsizes, bflags, comp_bytes, lens, nblocks
+     ) = selector.encode_docs_auto(arrays, p)
+    by_name = dict(zip(docs.keys(), codecs))
+    assert by_name["runs"] == "rle"
+    assert by_name["sorted"] == "dfor"
+    assert by_name["lowcard"] == "dict"
+    assert by_name["uniform"] == "raw"
+    assert by_name["vocab"] in ("ibp", "for")  # both ~2x; stats decide
+    # never expands
+    assert (comp_bytes <= 4 * lens).all()
+
+
+def test_spark_auto_roundtrip(spark, tokens_df, params):
+    enc = selector.encode_auto(tokens_df, params).cache()
+    # every profile present, sensible codec mix
+    mix = {r["codec"]: r["cnt"] for r in
+           enc.groupBy("codec").agg(F.count("*").alias("cnt")).collect()}
+    assert len(mix) >= 3, mix
+    bad = enc.filter(F.col("comp_bytes") > F.col("raw_bytes")).count()
+    assert bad == 0
+    dec = selector.decode_auto(enc, params)
+    joined = (tokens_df.alias("a").join(dec.alias("b"), "doc_id")
+              .filter(F.col("a.tokens") != F.col("b.tokens")).count())
+    assert joined == 0
+    total = tokens_df.count()
+    assert dec.count() == total
+    enc.unpersist()
+
+
+def test_auto_beats_ibp_alone(spark, tokens_df, params):
+    auto = selector.encode_auto(tokens_df, params).agg(
+        F.sum("comp_bytes")).collect()[0][0]
+    only_ibp = ibp.encode_ibp(tokens_df, params).agg(
+        F.sum("comp_bytes")).collect()[0][0]
+    assert auto < only_ibp
+
+
+def test_selected_sizes_are_exact(spark, tokens_df, params):
+    """predict_sizes must equal the actual encoded size for the chosen
+    codec (selection is closed-form, not heuristic)."""
+    local = tokens_df.orderBy("doc_id").select("tokens").toPandas()
+    arrays = list(local["tokens"].values)
+    fb = frame_batch(arrays)
+    flat = np.concatenate([np.asarray(a, np.int32) for a in arrays]).view(np.uint32)
+    sizes = selector.predict_sizes(flat, fb.lens, fb, params)
+    (codecs, payloads, bsizes, bflags, comp_bytes, lens, nblocks
+     ) = selector.encode_docs_auto(arrays, params)
+    for i, c in enumerate(codecs):
+        assert sizes[c][i] == comp_bytes[i], (i, c)
