@@ -159,16 +159,19 @@ def total_of(lens) -> int:
 
 def encode_auto(df: DataFrame, params: IbpParams,
                 tokens_col: str = "tokens",
-                allowed: tuple[str, ...] = CODEC_ORDER) -> DataFrame:
+                allowed: tuple[str, ...] = CODEC_ORDER,
+                passthrough: tuple[str, ...] = ()) -> DataFrame:
     """Auto-selected encode: same output schema as encode_ibp, with the
-    ``codec`` column recording the per-document choice."""
+    ``codec`` column recording the per-document choice.  ``passthrough``
+    columns (e.g. a salt bucket) are carried to the output unchanged —
+    cheaper than re-joining them afterwards."""
 
     def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             arrays = list(pdf[tokens_col].values)
             (codecs, payloads, bsizes, bflags, comp_bytes, lens,
              nblocks) = encode_docs_auto(arrays, params, allowed)
-            yield pd.DataFrame({
+            out = pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "source": pdf["source"],
                 "n_tok": lens.astype("int32"),
@@ -180,9 +183,18 @@ def encode_auto(df: DataFrame, params: IbpParams,
                 "raw_bytes": lens * 4,
                 "codec": codecs,
             })
+            for c in passthrough:
+                out[c] = pdf[c].values
+            yield out
 
-    cols = ["doc_id", tokens_col, "source"]
-    return df.select(*cols).mapInPandas(encoder, schema=ENCODED_SCHEMA)
+    cols = ["doc_id", tokens_col, "source", *passthrough]
+    schema = ENCODED_SCHEMA
+    if passthrough:
+        extra = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in df.select(*passthrough).schema.fields)
+        schema = f"{ENCODED_SCHEMA}, {extra}"
+    return df.select(*cols).mapInPandas(encoder, schema=schema)
 
 
 def decode_auto(df: DataFrame, params: IbpParams) -> DataFrame:

@@ -1,0 +1,191 @@
+"""Resumable compression pipeline with per-partition lineage.
+
+North-rule scale machinery:
+
+- **Skew-neutralizing partitioning**: documents are salted with
+  ``bucket = xxhash64(doc_id) % num_buckets`` and shuffled once so every
+  bucket carries a statistically even token mass regardless of the
+  long-document tail (``source`` alone would skew; a single mega-doc
+  bounds residual skew to its own size since documents are atomic).
+- **Wave commits + lineage**: buckets are processed in waves; each wave
+  appends its encoded output (parquet, partitioned by ``bucket``) and
+  then appends one lineage row per bucket to ``<out>/lineage`` with
+  (snapshot_id, bucket, codec mix, doc/token/byte counts, payload
+  checksum, wall seconds).  The lineage append is the commit point.
+- **Resume**: a rerun anti-joins pending buckets against committed
+  lineage rows for the same snapshot and only processes the remainder.
+
+On a real cluster this is launched via ``spark-submit --py-files
+invariantbitpacking_spark.zip run_pipeline.py`` (see scripts/); the
+session factory builds the same zip in local mode.
+
+The reference has no persistence/lineage (results live in process
+memory, SURVEY.md §1.5); this layer is new work per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import selector
+from ..operators.ibp import IbpParams, learn_params
+
+LINEAGE_SCHEMA = (
+    "snapshot_id string, bucket int, status string, docs long, "
+    "tokens long, raw_bytes long, comp_bytes long, codec_mix string, "
+    "payload_xxh long, wall_sec double, committed_at double"
+)
+
+
+@dataclass
+class PipelineResult:
+    snapshot_id: str
+    buckets_done: int
+    buckets_skipped: int
+    docs: int
+    tokens: int
+    raw_bytes: int
+    comp_bytes: int
+
+    @property
+    def ratio(self) -> float:
+        return self.raw_bytes / max(self.comp_bytes, 1)
+
+
+class CompressionPipeline:
+    def __init__(self, spark: SparkSession, output_dir: str,
+                 num_buckets: int = 64, wave_buckets: int = 16,
+                 sample_fraction: float | None = 0.1,
+                 allowed=selector.CODEC_ORDER):
+        self.spark = spark
+        self.output_dir = output_dir
+        self.data_dir = os.path.join(output_dir, "encoded")
+        self.lineage_dir = os.path.join(output_dir, "lineage")
+        self.params_dir = os.path.join(output_dir, "params")
+        self.num_buckets = num_buckets
+        self.wave_buckets = wave_buckets
+        self.sample_fraction = sample_fraction
+        self.allowed = allowed
+
+    # -- lineage -----------------------------------------------------------
+
+    def lineage(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self.lineage_dir)
+        except Exception:
+            return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    def committed_buckets(self, snapshot_id: str) -> set[int]:
+        rows = (self.lineage()
+                .filter((F.col("snapshot_id") == snapshot_id)
+                        & (F.col("status") == "committed"))
+                .select("bucket").distinct().collect())
+        return {r["bucket"] for r in rows}
+
+    # -- params ------------------------------------------------------------
+
+    def load_or_learn_params(self, toks: DataFrame,
+                             snapshot_id: str) -> IbpParams:
+        """Codec parameters are part of the snapshot's lineage: learned
+        once (on a sample), persisted, and reloaded on resume so every
+        wave encodes with identical params."""
+        path = os.path.join(self.params_dir, f"{snapshot_id}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return IbpParams.from_dict(json.load(f))
+        params = learn_params(toks, sample_fraction=self.sample_fraction)
+        os.makedirs(self.params_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(params.to_dict(), f)
+        os.replace(tmp, path)
+        return params
+
+    # -- main --------------------------------------------------------------
+
+    def run(self, toks: DataFrame, snapshot_id: str,
+            max_waves: int | None = None) -> PipelineResult:
+        nb = self.num_buckets
+        params = self.load_or_learn_params(toks, snapshot_id)
+        salted = toks.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+
+        done = self.committed_buckets(snapshot_id)
+        pending = [b for b in range(nb) if b not in done]
+        totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
+
+        waves = [pending[i:i + self.wave_buckets]
+                 for i in range(0, len(pending), self.wave_buckets)]
+        if max_waves is not None:
+            waves = waves[:max_waves]
+        buckets_run = sum(len(w) for w in waves)
+        for wave in waves:
+            t0 = time.perf_counter()
+            part = (salted.filter(F.col("bucket").isin(wave))
+                    .repartition(len(wave), "bucket"))
+            enc = selector.encode_auto(part, params, allowed=self.allowed,
+                                       passthrough=("bucket",))
+            (enc.write.mode("append").partitionBy("bucket")
+             .parquet(self.data_dir))
+            # wave statistics from what was just written (source of truth)
+            written = (self.spark.read.parquet(self.data_dir)
+                       .filter(F.col("bucket").isin(wave)))
+            stats = (written.groupBy("bucket").agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tok").alias("tokens"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("comp_bytes").alias("comp_bytes"),
+                # XOR-fold of per-doc hashes: order-insensitive, no overflow
+                F.expr("bit_xor(xxhash64(payload))").alias("payload_xxh"),
+            ).collect())
+            mixes = {r["bucket"]: r["cnt_map"] for r in (
+                written.groupBy("bucket", "codec").count()
+                .groupBy("bucket")
+                .agg(F.map_from_entries(F.collect_list(F.struct(
+                    "codec", "count"))).alias("cnt_map"))
+                .collect())}
+            wall = time.perf_counter() - t0
+            now = time.time()
+            rows = []
+            for r in stats:
+                b = int(r["bucket"])
+                rows.append((snapshot_id, b, "committed", r["docs"],
+                             r["tokens"], r["raw_bytes"], r["comp_bytes"],
+                             json.dumps({k: int(v) for k, v in
+                                         (mixes.get(b) or {}).items()},
+                                        sort_keys=True),
+                             int(r["payload_xxh"] or 0),
+                             wall / max(len(wave), 1), now))
+                for k in totals:
+                    totals[k] += int(r[k])
+            # empty buckets still commit (so resume skips them)
+            got = {int(r["bucket"]) for r in stats}
+            for b in wave:
+                if b not in got:
+                    rows.append((snapshot_id, b, "committed",
+                                 0, 0, 0, 0, "{}", 0,
+                                 wall / max(len(wave), 1), now))
+            (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+             .coalesce(1).write.mode("append").parquet(self.lineage_dir))
+
+        return PipelineResult(snapshot_id, buckets_run, len(done),
+                              totals["docs"], totals["tokens"],
+                              totals["raw_bytes"], totals["comp_bytes"])
+
+    def read_encoded(self, snapshot_id: str | None = None) -> DataFrame:
+        return self.spark.read.parquet(self.data_dir)
+
+    def verify_roundtrip(self, toks: DataFrame,
+                         params: IbpParams) -> int:
+        """Full decode of the written table vs the source; returns the
+        mismatch count (0 == bit-identical corpus)."""
+        dec = selector.decode_auto(self.read_encoded(), params)
+        return (toks.alias("a").join(dec.alias("b"), "doc_id")
+                .filter((F.col("a.tokens") != F.col("b.tokens"))
+                        | (F.col("a.n_tok") != F.col("b.n_tok")))
+                .count())

@@ -1,0 +1,61 @@
+"""Resumable pipeline: wave commits, lineage, resume, round-trip."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+
+
+@pytest.fixture()
+def outdir(tmp_path):
+    return str(tmp_path / "out")
+
+
+def test_full_run_and_lineage(spark, tokens_df, outdir):
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=4,
+                               sample_fraction=None)
+    res = pipe.run(tokens_df, "snapA")
+    assert res.buckets_done == 8 and res.buckets_skipped == 0
+    assert res.docs == tokens_df.count()
+    assert res.comp_bytes < res.raw_bytes
+    lin = pipe.lineage().filter(F.col("snapshot_id") == "snapA")
+    assert lin.count() == 8
+    assert lin.filter(F.col("status") != "committed").count() == 0
+    mixes = [json.loads(r["codec_mix"]) for r in lin.collect()]
+    assert any(m for m in mixes)  # codec mixes recorded
+    # checksums are non-trivial
+    assert lin.filter(F.col("payload_xxh") != 0).count() > 0
+    # round-trip of the whole written corpus
+    params = pipe.load_or_learn_params(tokens_df, "snapA")
+    assert pipe.verify_roundtrip(tokens_df, params) == 0
+
+
+def test_resume_after_interruption(spark, tokens_df, outdir):
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=3,
+                               sample_fraction=None)
+    partial = pipe.run(tokens_df, "snapB", max_waves=1)
+    assert partial.buckets_done == 3
+    assert len(pipe.committed_buckets("snapB")) == 3
+    # resume: must skip the committed 3, process the remaining 5
+    rest = pipe.run(tokens_df, "snapB")
+    assert rest.buckets_skipped == 3 and rest.buckets_done == 5
+    # no duplicates: every doc written exactly once
+    enc = pipe.read_encoded()
+    assert enc.count() == tokens_df.count()
+    assert enc.select("doc_id").distinct().count() == tokens_df.count()
+    params = pipe.load_or_learn_params(tokens_df, "snapB")
+    assert pipe.verify_roundtrip(tokens_df, params) == 0
+    # rerun when everything is committed: a no-op
+    noop = pipe.run(tokens_df, "snapB")
+    assert noop.buckets_done == 0 and noop.buckets_skipped == 8
+
+
+def test_params_persisted_across_resume(spark, tokens_df, outdir):
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=2,
+                               sample_fraction=0.5)
+    p1 = pipe.load_or_learn_params(tokens_df, "snapC")
+    p2 = pipe.load_or_learn_params(tokens_df, "snapC")
+    assert (p1.mask == p2.mask).all() and (p1.bitval == p2.bitval).all()
+    assert p1.threshold == p2.threshold
