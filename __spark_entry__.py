@@ -168,6 +168,67 @@ def q_token_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats_per_source(_tokens(spark, sf_dir))
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invariantbitpacking_spark.functions.dataops import dedup_exact
+
+    return dedup_exact(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invariantbitpacking_spark.functions.dataops import minhash_lsh_pairs
+
+    p = minhash_lsh_pairs(_docs(spark, sf_dir))
+    return p.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invariantbitpacking_spark.functions.dataops import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invariantbitpacking_spark.functions.dataops import ann_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_cosine_topk(emb, num_queries=8, k=5)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invariantbitpacking_spark.functions.dataops import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_lsh_topk(emb, num_queries=8, k=5)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invariantbitpacking_spark.functions.dataops import text_quality
+
+    return text_quality(_docs(spark, sf_dir))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invariantbitpacking_spark.functions.dataops import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invariantbitpacking_spark.functions.dataops import doc_fingerprint
+
+    return doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from invariantbitpacking_spark.functions.dataops import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_documents": q_tokenize_documents,
@@ -178,6 +239,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ibp_ratio_by_source": q_ibp_ratio_by_source,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
+        "dedup_exact": q_dedup_exact,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "text_quality": q_text_quality,
+        "token_counts": q_token_counts,
+        "doc_fingerprint": q_doc_fingerprint,
+        "lang_id": q_lang_id,
     }
 
 
@@ -254,5 +324,104 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(row_runs) AS BIGINT) AS sum_row_runs,
                    COUNT(*) AS docs
             FROM per_row GROUP BY source
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS h,
+                   CAST(MIN(doc_id) AS VARCHAR) AS keep_doc_id,
+                   COUNT(*) AS copies
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+                  FROM documents)
+            GROUP BY h
+        """,
+        "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e
+                  ORDER BY vec_id LIMIT 8),
+            pairs AS (
+                SELECT q.q_id, e.vec_id,
+                       list_cosine_similarity(e.v, q.qv) AS sim
+                FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+            ranked AS (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY sim DESC, vec_id ASC)
+                       AS rank
+                FROM pairs)
+            SELECT q_id, CAST(rank AS INT) AS rank, vec_id
+            FROM ranked WHERE rank <= 5
+        """,
+        "text_quality": """
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                              string_split(text, ' ') AS words
+                       FROM documents),
+            f AS (SELECT doc_id,
+                         length(text) AS n_chars_actual,
+                         len(words) AS n_words,
+                         len(list_filter(words, w -> w IN
+                             ('the','a','of','and','to','in','is','on',
+                              'for','with'))) AS n_stopwords,
+                         (length(text) - len(words) + 1.0) / len(words)
+                             AS mwl
+                  FROM t)
+            SELECT doc_id,
+                   CAST(n_chars_actual AS INT) AS n_chars_actual,
+                   CAST(n_words AS INT) AS n_words,
+                   CAST(n_stopwords AS INT) AS n_stopwords,
+                   ROUND(mwl, 6) AS mean_word_len,
+                   ROUND(LEAST(n_words / 100.0, 1.0) * 0.5
+                         + (n_stopwords * 1.0 / n_words) * 0.3
+                         + CASE WHEN mwl >= 3 AND mwl <= 8
+                                THEN 0.2 ELSE 0.0 END, 6)
+                       AS quality_score
+            FROM f
+        """,
+        "token_counts": """
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              string_split(text, ' ') AS words
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(len(words) AS INT) AS n_words,
+                   CAST(len(list_distinct(words)) AS INT)
+                       AS n_distinct_words,
+                   CAST(list_sum(list_transform(words,
+                        w -> CAST(ceil(length(w) / 4.0) AS INT)))
+                        AS INT) AS n_subwords_est
+            FROM t
+        """,
+        "doc_fingerprint": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   list_reduce(
+                       list_prepend(CAST(0 AS BIGINT),
+                           list_transform(string_split(text, ' '),
+                               w -> CAST(ascii(w[1:1]) * 521
+                                         + ascii(w[2:2]) * 31
+                                         + length(w) AS BIGINT))),
+                       (a, b) -> (a * 31 + b) % 1000000007)
+                   AS fingerprint
+            FROM documents
+        """,
+        "lang_id": """
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              string_split(text, ' ') AS words
+                       FROM documents),
+            s AS (SELECT doc_id,
+                    len(list_filter(words, w -> w IN ('the','and','of','is'))) AS s_en,
+                    len(list_filter(words, w -> w IN ('der','die','und','ist'))) AS s_de,
+                    len(list_filter(words, w -> w IN ('le','la','et','est'))) AS s_fr,
+                    len(list_filter(words, w -> w IN ('el','los','y','es'))) AS s_es,
+                    len(list_filter(words, w -> w IN ('de5','shi4','le5','zai4'))) AS s_zh
+                  FROM t)
+            SELECT doc_id,
+                   CASE
+                     WHEN s_zh > GREATEST(s_en, s_de, s_fr, s_es) THEN 'zh'
+                     WHEN s_es > GREATEST(s_en, s_de, s_fr) THEN 'es'
+                     WHEN s_fr > GREATEST(s_en, s_de) THEN 'fr'
+                     WHEN s_de > s_en THEN 'de'
+                     ELSE 'en'
+                   END AS pred_lang,
+                   CAST(GREATEST(s_en, s_de, s_fr, s_es, s_zh) AS INT)
+                       AS marker_hits
+            FROM s
         """,
     }

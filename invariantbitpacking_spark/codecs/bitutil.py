@@ -49,11 +49,14 @@ def pack_fixed(flat_vals: np.ndarray, lens: np.ndarray, w: int):
     pad_starts = (np.cumsum(nchunks) - nchunks) * 8
     tgt = gather_ranges(np.arange(tot_chunks * 8, dtype=np.int64), pad_starts, lens)
     padded[tgt] = np.asarray(flat_vals, np.uint32)
-    c = padded.reshape(-1, 8)
-    out = np.empty((tot_chunks, w), np.uint8)
-    for b in range(w):
-        bits = ((c >> np.uint32(w - 1 - b)) & np.uint32(1)).astype(np.uint8)
-        out[:, b] = np.packbits(bits, axis=1)[:, 0]
+    # [chunks, 8 values, 32 bits MSB-first] -> keep low w bits -> transpose
+    # to [chunks, w planes, 8 values] -> packbits = byte-plane layout,
+    # three C-level passes instead of a per-bit Python loop
+    bits = np.unpackbits(
+        padded.reshape(-1, 8).astype(">u4").view(np.uint8).reshape(tot_chunks, 8, 4),
+        axis=2, count=32).reshape(tot_chunks, 8, 32)[:, :, 32 - w:]
+    planes = np.ascontiguousarray(bits.transpose(0, 2, 1)).reshape(tot_chunks, w * 8)
+    out = np.packbits(planes, axis=1)
     return out.reshape(-1), nchunks * w
 
 
@@ -68,9 +71,13 @@ def unpack_fixed(bytes_flat: np.ndarray, lens: np.ndarray, w: int) -> np.ndarray
     tot_chunks = int(nchunks.sum())
     planes = np.asarray(bytes_flat, np.uint8)[: tot_chunks * w].reshape(tot_chunks, w)
     bits = np.unpackbits(planes, axis=1).reshape(tot_chunks, w, 8)
-    vals = np.zeros((tot_chunks, 8), np.uint32)
-    for b in range(w):
-        vals |= bits[:, b, :].astype(np.uint32) << np.uint32(w - 1 - b)
+    # [chunks, w planes, 8 values] -> [chunks, 8, w] -> left-pad to 32
+    # bits MSB-first -> packbits -> big-endian uint32
+    full = np.zeros((tot_chunks, 8, 32), np.uint8)
+    full[:, :, 32 - w:] = bits.transpose(0, 2, 1)
+    vals = (np.packbits(full.reshape(tot_chunks, 8 * 32), axis=1)
+            .reshape(tot_chunks, 8, 4).copy().view(">u4")
+            .reshape(tot_chunks, 8).astype(np.uint32))
     padded = vals.reshape(-1)
     pad_starts = (np.cumsum(nchunks) - nchunks) * 8
     return gather_ranges(padded, pad_starts, lens)

@@ -231,11 +231,13 @@ def encode_dict(flat: np.ndarray, lens: np.ndarray):
     total = flat.size
     ndocs = len(lens)
     row = _row_of(lens)
-    order = np.lexsort((flat, row))
+    key = (row.astype(np.uint64) << np.uint64(32)) | flat.astype(np.uint64)
+    order = np.argsort(key, kind="stable")
     sv, sr = flat[order], row[order]
     new = np.ones(total, bool)
     if total:
-        new[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
+        k = key[order]
+        new[1:] = k[1:] != k[:-1]
     card = np.bincount(sr[new], minlength=ndocs).astype(np.int64) if total \
         else np.zeros(ndocs, np.int64)
     grank = np.cumsum(new) - 1 if total else np.zeros(0, np.int64)

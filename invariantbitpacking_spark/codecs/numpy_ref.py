@@ -81,6 +81,16 @@ def _popcount(a: np.ndarray) -> np.ndarray:
     )
 
 
+_POPC8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def popcount32(a: np.ndarray) -> np.ndarray:
+    """Fast elementwise popcount of a uint32 array (byte-LUT; the POPC
+    intrinsic of ibp_helpers.cuh:13-29 for our hot distance loops)."""
+    b = np.ascontiguousarray(a).view(np.uint8).reshape(*a.shape, 4)
+    return _POPC8[b].sum(axis=-1, dtype=np.int64)
+
+
 def _bits_msb(a: np.ndarray) -> np.ndarray:
     """Unpack each element into its bits, MSB-first: shape (*a.shape, W)."""
     w = a.dtype.itemsize

@@ -1,0 +1,304 @@
+"""Large-scale training-data pipeline operations.
+
+Beyond the reference's codec surface, these are the operations a 100 TB
+token-corpus pipeline needs around the encoder: deduplication (exact,
+MinHash+LSH, SimHash), similarity search over embeddings, and text
+analysis (language id, quality scoring, token counting, fingerprints).
+
+Everything here is declarative ``pyspark.sql`` — JVM-side expressions
+that Catalyst optimizes (predicate pushdown, broadcast joins,
+whole-stage codegen); the only Pandas UDF is the SimHash bit-vote,
+which has no efficient Catalyst expression.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct text with the
+    keeper (min doc_id) and the duplicate count.  Hash-partitioned
+    groupBy with map-side partial agg — the canonical shuffle shape."""
+    return (docs
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.md5(F.col("text")).alias("h"))
+            .groupBy("h")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("copies"))
+            .select("h", "keep_doc_id", "copies"))
+
+
+def _word_shingles(col, n: int = 3):
+    """Word n-gram shingles as an array<string> (distinct)."""
+    words = F.split(col, " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), k),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    ))
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
+                       shingle_n: int = 3) -> DataFrame:
+    """Per-document MinHash signature over word shingles — each hash is
+    ``min(xxhash64(shingle, seed))``, computed entirely JVM-side."""
+    sh = _word_shingles(F.col("text"), shingle_n)
+    cols = [
+        F.array_min(F.transform(
+            F.col("shingles"), lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                        sh.alias("shingles"))
+            .filter(F.size("shingles") > 0)
+            .select("doc_id", "shingles", *cols))
+
+
+def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
+                      bands: int = 4, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, verified with the exact
+    shingle Jaccard.  Banding: signatures split into ``bands`` groups;
+    a pair is a candidate when any band hash collides (equi-join on
+    (band, hash) — shuffle-friendly, no O(n^2)); candidates are then
+    verified with array_intersect/array_union on the shingle sets."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, shingle_n).cache()
+    band_cols = [
+        F.struct(F.lit(b).alias("band"),
+                 F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
+                              for r in range(rows_per_band)]).alias("bh"))
+        for b in range(bands)
+    ]
+    buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("k"))
+               .select("doc_id", "k.band", "k.bh"))
+    cand = (buckets.alias("a")
+            .join(buckets.alias("b"),
+                  (F.col("a.band") == F.col("b.band"))
+                  & (F.col("a.bh") == F.col("b.bh"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    withsets = (cand
+                .join(sig.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("shingles").alias("sh_a")), "doc_a")
+                .join(sig.select(F.col("doc_id").alias("doc_b"),
+                                 F.col("shingles").alias("sh_b")), "doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (withsets
+            .select("doc_a", "doc_b",
+                    (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= jaccard_threshold))
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document (word-level), via one Arrow-batched
+    Pandas UDF (the per-bit vote has no efficient Catalyst form)."""
+
+    def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.zeros(len(pdf), np.int64)
+            for i, text in enumerate(pdf["text"].values):
+                words = text.split(" ") if text else []
+                if not words:
+                    continue
+                hs = np.array([hash_word(w) for w in words], np.uint64)
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                        & np.uint64(1)).astype(np.int64)
+                vote = bits.sum(axis=0) * 2 - len(words)
+                out[i] = int(((vote > 0).astype(np.uint64)
+                              << np.arange(64, dtype=np.uint64)).sum()
+                             .astype(np.int64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype(str),
+                                "simhash": out})
+
+    def hash_word(w: str) -> np.uint64:
+        # FNV-1a 64-bit: deterministic across processes (unlike hash())
+        h = np.uint64(0xCBF29CE484222325)
+        for ch in w.encode("utf-8"):
+            h = np.uint64((int(h) ^ ch) * 0x100000001B3 % 2**64)
+        return h
+
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       "text").mapInPandas(
+        sim, schema="doc_id string, simhash long")
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def ann_cosine_topk(emb: DataFrame, num_queries: int = 8,
+                    k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: queries (lowest vec_ids) are broadcast
+    against the full table; dot products run JVM-side with
+    zip_with/aggregate inside whole-stage codegen; ranking is a window
+    over each query's candidate set.  At 100 TB the same plan holds with
+    the query side broadcast and the corpus scanned once; the LSH
+    variant below is the sub-linear path."""
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = (e.orderBy("vec_id").limit(num_queries)
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    pairs = (e.crossJoin(F.broadcast(q))
+             .filter(F.col("vec_id") != F.col("q_id"))
+             .select("q_id", "vec_id",
+                     (dot / (nrm(F.col("v")) * nrm(F.col("qv")))).alias("sim")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "vec_id"))
+
+
+def ann_lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 5,
+                 planes: int = 4, num_tables: int = 8,
+                 seed: int = 42) -> DataFrame:
+    """Sub-linear ANN: random-hyperplane LSH with ``num_tables``
+    independent tables (candidate union — recall 1-(1-p)^L), exact
+    cosine re-ranking only within collided buckets (candidates ~=
+    n * L / 2^planes).  Approximate by design — recall is measured in
+    tests, not by an exact oracle."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    rng = np.random.default_rng(seed)
+    hp = rng.standard_normal((num_tables, planes, dim))
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def table_sig(t: int):
+        hp_lit = F.array(*[
+            F.array(*[F.lit(float(x)) for x in hp[t, p]])
+            for p in range(planes)])
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            F.lit(0),
+            lambda acc, p: acc * 2 + F.when(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.element_at(hp_lit, p + 1),
+                               lambda a, b: a * b),
+                    F.lit(0.0), lambda s, x: s + x) > 0, 1).otherwise(0))
+
+    sigs = F.array(*[
+        F.struct(F.lit(t).alias("tbl"), table_sig(t).alias("bucket"))
+        for t in range(num_tables)])
+    eb = (e.select("vec_id", "v", F.explode(sigs).alias("s"))
+          .select("vec_id", "v", "s.tbl", "s.bucket"))
+    q = (e.orderBy("vec_id").limit(num_queries)
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
+    qb = (q.join(eb.select(F.col("vec_id").alias("q_id"),
+                           F.col("tbl").alias("q_tbl"),
+                           F.col("bucket").alias("q_bucket")), "q_id"))
+    cand = (eb.join(F.broadcast(qb),
+                    (F.col("tbl") == F.col("q_tbl"))
+                    & (F.col("bucket") == F.col("q_bucket"))
+                    & (F.col("vec_id") != F.col("q_id")))
+            .select("q_id", "qv", "vec_id", "v").distinct())
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    pairs = cand.select(
+        "q_id", "vec_id",
+        (dot / (nrm(F.col("v")) * nrm(F.col("qv")))).alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "vec_id", F.round("sim", 6).alias("sim")))
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Deterministic quality features: length, word stats, stopword
+    ratio, and a composite score — all Catalyst expressions."""
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    sw = F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+    mean_wlen = (F.length("text") - nw + 1) / nw
+    score = (F.least(nw / F.lit(100.0), F.lit(1.0)) * 0.5
+             + (sw / nw) * 0.3
+             + F.when((mean_wlen >= 3) & (mean_wlen <= 8), 0.2).otherwise(0.0))
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.length("text").alias("n_chars_actual"),
+        nw.alias("n_words"),
+        sw.alias("n_stopwords"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Token accounting: whitespace words, distinct words, and a
+    BPE-ish subword estimate (ceil(chars/4) per word)."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(words).alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.aggregate(words, F.lit(0),
+                    lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("int")
+                    ).alias("n_subwords_est"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-sensitive polynomial fingerprint of the word sequence
+    (rolling hash mod 1e9+7): equal fingerprints == equal word streams
+    with high probability; used for cheap shard-level dedup."""
+    p = F.lit(1_000_000_007)
+    words = F.split(F.col("text"), " ")
+    word_val = lambda w: (  # noqa: E731
+        F.ascii(F.substring(w, 1, 1)) * 521
+        + F.ascii(F.substring(w, 2, 1)) * 31 + F.length(w))
+    fp = F.aggregate(words, F.lit(0).cast("long"),
+                     lambda acc, w: (acc * 31 + word_val(w)) % p)
+    return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                       fp.alias("fingerprint"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Deterministic language-id heuristic: per-language marker-word
+    hit counts; argmax with a fixed priority tiebreak.  (Real corpora
+    would use char-n-gram models; the *plumbing* — scoring arrays, a
+    greatest-of expression tree — is identical.)"""
+    markers = {
+        "en": ("the", "and", "of", "is"),
+        "de": ("der", "die", "und", "ist"),
+        "fr": ("le", "la", "et", "est"),
+        "es": ("el", "los", "y", "es"),
+        "zh": ("de5", "shi4", "le5", "zai4"),
+    }
+    words = F.split(F.col("text"), " ")
+    scores = [
+        F.size(F.filter(words, lambda w: w.isin(*ws))).alias(f"s_{lang}")
+        for lang, ws in markers.items()
+    ]
+    d = docs.select(F.col("doc_id").cast("string").alias("doc_id"), *scores)
+    best = F.lit("en")
+    best_score = F.col("s_en")
+    for lang in ("de", "fr", "es", "zh"):
+        cond = F.col(f"s_{lang}") > best_score
+        best = F.when(cond, F.lit(lang)).otherwise(best)
+        best_score = F.when(cond, F.col(f"s_{lang}")).otherwise(best_score)
+    return d.select("doc_id", best.alias("pred_lang"),
+                    best_score.alias("marker_hits"))

@@ -352,7 +352,8 @@ def predict_sizes_ibp(fb: FramedBatch, mask: np.ndarray,
     if fb.full_mat.shape[0]:
         s = nr.comp_sizes_matrix(fb.full_mat, mask, bitval)
         doc_of_full = np.repeat(np.arange(ndocs), fb.nfull)
-        np.add.at(out, doc_of_full, s)
+        out += np.bincount(doc_of_full, weights=s,
+                           minlength=ndocs).astype(np.int64)
     for L, (mat, docs) in fb.tails.items():
         out[docs] += nr.comp_sizes_matrix(mat, mask[:L], bitval[:L])
     return out

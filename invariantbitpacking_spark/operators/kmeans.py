@@ -1,0 +1,402 @@
+"""Hamming k-means clustered codec parameters.
+
+Re-expression of ``ibp.preprocess_kmeans`` (reference ibp/__init__.py:
+16-17 -> src/preprocess.cu:88-139 -> preproc_kmeans
+ibp_preproc_host.cuh:118-284) as an iterative DataFrame job, the
+MLlib-KMeans shape (broadcast centroids, assign, re-aggregate) but with
+XOR+popcount distance, which MLlib does not offer:
+
+- init: k distinct sample blocks as centroids (the reference uses
+  std::random_shuffle, ibp_preproc_host.cuh:176-188; we use a seeded
+  numpy choice — divergence in the random stream only, not semantics)
+- 10 iterations (ibp_preproc_host.cuh:191-193): assign each block to
+  the nearest centroid by Hamming distance (cluster_vecs,
+  ibp_preproc_kmeans.cuh:106-150), recompute each centroid bit as the
+  cluster majority with integer division (`bits_set > size / 2`,
+  construct_bitmasks :219-236); empty clusters collapse to zero
+- final: per-cluster (mask, bitval) via the same strict-threshold rule
+  (create_mask_many :238-297), sweeping one GLOBAL threshold over the
+  float32 grid and keeping the argmax of real gated savings measured
+  with per-cluster params (check_feats_many :299-323,
+  ibp_preproc_host.cuh:257-268)
+
+Clustering is learned on full blocks (the reference clusters whole
+rectangular vectors); ragged tails are assigned at encode time by
+prefix Hamming distance.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..codecs import numpy_ref as nr
+from ..codecs.numpy_ref import popcount32
+from .framing import FramedBatch, VEC_SIZE, frame_batch, gather_ranges, unframe_batch
+from .ibp import IbpParams
+
+
+@dataclass
+class KmeansParams:
+    centroids: np.ndarray  # uint32 [k, v]
+    masks: np.ndarray      # uint32 [k, v]
+    bitvals: np.ndarray    # uint32 [k, v]
+    vec_size: int = VEC_SIZE
+    threshold: float | None = None
+    saved_bits: int = 0
+
+    @property
+    def k(self) -> int:
+        return self.centroids.shape[0]
+
+    def to_dict(self) -> dict:
+        return {
+            "vec_size": self.vec_size, "threshold": self.threshold,
+            "saved_bits": int(self.saved_bits),
+            "centroids": self.centroids.tolist(),
+            "masks": self.masks.tolist(), "bitvals": self.bitvals.tolist(),
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "KmeansParams":
+        return cls(np.array(d["centroids"], np.uint32),
+                   np.array(d["masks"], np.uint32),
+                   np.array(d["bitvals"], np.uint32),
+                   int(d["vec_size"]), d.get("threshold"),
+                   int(d.get("saved_bits", 0)))
+
+
+def hamming_assign(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """argmin_c popcount(row ^ centroid_c) — cluster_vecs
+    (ibp_preproc_kmeans.cuh:106-150).  Loops over k (small), whole-batch
+    per centroid."""
+    n, L = mat.shape
+    best = np.full(n, np.iinfo(np.int64).max, np.int64)
+    out = np.zeros(n, np.int32)
+    for c in range(centroids.shape[0]):
+        d = popcount32(mat ^ centroids[c, :L][None, :]).sum(axis=1)
+        better = d < best
+        best[better] = d[better]
+        out[better] = c
+    return out
+
+
+def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
+                 tokens_col: str = "tokens", vec_size: int = VEC_SIZE,
+                 threshold: float | None = None,
+                 sample_fraction: float | None = None,
+                 seed: int = 42) -> KmeansParams:
+    if sample_fraction is not None and sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    toks = df.select(tokens_col)
+
+    # ---- init: k blocks from a tiny driver-side sample ------------------
+    sample_rows = toks.limit(max(4 * k, 64)).toPandas()
+    fb0 = frame_batch(sample_rows[tokens_col].values, vec_size)
+    if fb0.full_mat.shape[0] < k:
+        raise ValueError(f"need >= {k} full blocks to seed {k} centroids")
+    rng = np.random.default_rng(seed)
+    centroids = fb0.full_mat[
+        rng.choice(fb0.full_mat.shape[0], k, replace=False)].copy()
+
+    # ---- Lloyd iterations (distributed assign + majority re-center) -----
+    for _ in range(iters):
+        cent = centroids  # closure capture per iteration
+
+        def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                fb = frame_batch(pdf[tokens_col].values, vec_size)
+                if fb.full_mat.shape[0] == 0:
+                    continue
+                cl = hamming_assign(fb.full_mat, cent)
+                bits = nr._bits_msb(fb.full_mat)[..., ::-1]  # LSB-first
+                outs = []
+                for c in range(cent.shape[0]):
+                    sel = cl == c
+                    if not sel.any():
+                        continue
+                    counts = bits[sel].sum(axis=0, dtype=np.int64).reshape(-1)
+                    outs.append(pd.DataFrame({
+                        "cluster": c,
+                        "pos": np.concatenate([[-1], np.arange(counts.size)]),
+                        "cnt": np.concatenate([[int(sel.sum())], counts]),
+                    }))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        rows = (toks.mapInPandas(it, schema="cluster int, pos int, cnt long")
+                .groupBy("cluster", "pos").agg(F.sum("cnt").alias("cnt"))
+                .collect())
+        counts = np.zeros((k, vec_size * 32), np.int64)
+        sizes = np.zeros(k, np.int64)
+        for r in rows:
+            if r["pos"] == -1:
+                sizes[r["cluster"]] = r["cnt"]
+            else:
+                counts[r["cluster"], r["pos"]] = r["cnt"]
+        # majority vote with integer division (construct_bitmasks :230)
+        weights = (np.uint64(1) << np.arange(32, dtype=np.uint64))
+        new = np.zeros((k, vec_size), np.uint32)
+        for c in range(k):
+            if sizes[c] == 0:
+                continue  # empty -> all-zero centroid, like the reference
+            bitset = counts[c].reshape(vec_size, 32) > (sizes[c] // 2)
+            new[c] = (bitset * weights[None, :]).sum(axis=1).astype(np.uint32)
+        centroids = new
+
+    # ---- final per-cluster (mask, bitval): global-threshold sweep -------
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fb = frame_batch(pdf[tokens_col].values, vec_size)
+            if fb.full_mat.shape[0] == 0:
+                continue
+            cl = hamming_assign(fb.full_mat, centroids)
+            bits = nr._bits_msb(fb.full_mat)[..., ::-1]
+            outs = []
+            for c in range(k):
+                sel = cl == c
+                if not sel.any():
+                    continue
+                counts = bits[sel].sum(axis=0, dtype=np.int64).reshape(-1)
+                outs.append(pd.DataFrame({
+                    "cluster": c,
+                    "pos": np.concatenate([[-1], np.arange(counts.size)]),
+                    "cnt": np.concatenate([[int(sel.sum())], counts]),
+                }))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    rows = (toks.mapInPandas(stats, schema="cluster int, pos int, cnt long")
+            .groupBy("cluster", "pos").agg(F.sum("cnt").alias("cnt"))
+            .collect())
+    counts = np.zeros((k, vec_size * 32), np.int64)
+    sizes = np.zeros(k, np.int64)
+    for r in rows:
+        if r["pos"] == -1:
+            sizes[r["cluster"]] = r["cnt"]
+        else:
+            counts[r["cluster"], r["pos"]] = r["cnt"]
+
+    grid = [threshold] if threshold is not None else nr.sweep_thresholds()
+    cand = []  # per theta: (masks [k,v], bitvals [k,v])
+    for t in grid:
+        ms = np.zeros((k, vec_size), np.uint32)
+        bs = np.zeros((k, vec_size), np.uint32)
+        for c in range(k):
+            if sizes[c]:
+                m, b = nr.create_mask(
+                    counts[c].reshape(vec_size, 32), int(sizes[c]), t)
+                ms[c], bs[c] = m, b
+        cand.append((ms, bs))
+
+    # one distributed pass evaluates savings for every theta
+    def evaluator(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fb = frame_batch(pdf[tokens_col].values, vec_size)
+            if fb.full_mat.shape[0] == 0:
+                continue
+            cl = hamming_assign(fb.full_mat, centroids)
+            saveds = np.zeros(len(grid), np.int64)
+            for g, (ms, bs) in enumerate(cand):
+                popc = popcount32(ms)
+                for c in range(k):
+                    sel = cl == c
+                    if not sel.any():
+                        continue
+                    sub = fb.full_mat[sel]
+                    pred = (sub & ms[c][None, :]) == bs[c][None, :]
+                    per_vec = (pred * popc[c][None, :]).sum(axis=1, dtype=np.int64)
+                    saveds[g] += np.where(per_vec > vec_size,
+                                          per_vec - vec_size, 0).sum()
+            yield pd.DataFrame({"ti": np.arange(len(grid)), "saved": saveds})
+
+    ev = (toks.mapInPandas(evaluator, schema="ti int, saved long")
+          .groupBy("ti").agg(F.sum("saved").alias("saved")).collect())
+    saved_by_t = np.zeros(len(grid), np.int64)
+    for r in ev:
+        saved_by_t[r["ti"]] = r["saved"]
+    best_g, best_saved = 0, 0
+    for g in range(len(grid)):
+        if saved_by_t[g] > best_saved:
+            best_g, best_saved = g, int(saved_by_t[g])
+    masks, bitvals = cand[best_g]
+    return KmeansParams(centroids, masks, bitvals, vec_size,
+                        float(grid[best_g]), best_saved)
+
+
+# ---------------------------------------------------------------------------
+# clustered encode / decode
+# ---------------------------------------------------------------------------
+
+ENCODED_KMEANS_SCHEMA = (
+    "doc_id string, source string, n_tok int, n_blocks int, "
+    "block_sizes array<int>, block_flags binary, block_clusters binary, "
+    "payload binary, comp_bytes long, raw_bytes long, codec string"
+)
+
+
+def _encode_group(mat, mask, bitval):
+    return nr.encode_concat(mat, mask, bitval)
+
+
+def encode_ibp_kmeans(df: DataFrame, kp: KmeansParams,
+                      tokens_col: str = "tokens") -> DataFrame:
+    """Per-block cluster assignment + per-cluster (mask, bitval) encode;
+    cluster ids stored as one u8 per block (``block_clusters``)."""
+    v = kp.vec_size
+    cents, masks, bitvals = kp.centroids, kp.masks, kp.bitvals
+
+    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fb = frame_batch(pdf[tokens_col].values, v)
+            ndocs = len(fb.lens)
+            nb_tot = int(fb.nblocks.sum())
+            # global block table in doc-major order
+            sizes = np.zeros(nb_tot, np.int64)
+            is_comp = np.zeros(nb_tot, bool)
+            clusters = np.zeros(nb_tot, np.uint8)
+            blobs: dict[int, np.ndarray] = {}
+            blk_start = np.cumsum(fb.nblocks) - fb.nblocks
+            # full blocks, grouped by cluster
+            if fb.full_mat.shape[0]:
+                cl = hamming_assign(fb.full_mat, cents)
+                doc_of_full = np.repeat(np.arange(ndocs), fb.nfull)
+                within = (np.arange(fb.full_mat.shape[0])
+                          - np.repeat(np.cumsum(fb.nfull) - fb.nfull, fb.nfull))
+                gidx = blk_start[doc_of_full] + within
+                clusters[gidx] = cl.astype(np.uint8)
+                for c in np.unique(cl):
+                    sel = cl == c
+                    flat, sz, ic = _encode_group(
+                        fb.full_mat[sel], masks[c], bitvals[c])
+                    off = np.cumsum(sz) - sz
+                    tgt = gidx[sel]
+                    sizes[tgt] = sz
+                    is_comp[tgt] = ic
+                    for j, g in enumerate(tgt):
+                        blobs[int(g)] = flat[off[j]:off[j] + sz[j]]
+            # tails: assign by prefix distance, group by (cluster, L)
+            for L, (mat, docs) in fb.tails.items():
+                cl = hamming_assign(mat, cents[:, :L])
+                gidx = blk_start[docs] + fb.nblocks[docs] - 1
+                clusters[gidx] = cl.astype(np.uint8)
+                for c in np.unique(cl):
+                    sel = cl == c
+                    flat, sz, ic = _encode_group(
+                        mat[sel], masks[c][:L], bitvals[c][:L])
+                    off = np.cumsum(sz) - sz
+                    tgt = gidx[sel]
+                    sizes[tgt] = sz
+                    is_comp[tgt] = ic
+                    for j, g in enumerate(tgt):
+                        blobs[int(g)] = flat[off[j]:off[j] + sz[j]]
+            payloads, bsizes, bflags, bclusters = [], [], [], []
+            comp_bytes = np.zeros(ndocs, np.int64)
+            for i in range(ndocs):
+                b0, b1 = int(blk_start[i]), int(blk_start[i] + fb.nblocks[i])
+                payloads.append(
+                    b"".join(blobs[g].tobytes() for g in range(b0, b1)))
+                bsizes.append(sizes[b0:b1].astype(np.int32))
+                bflags.append(np.packbits(
+                    is_comp[b0:b1].astype(np.uint8), bitorder="little").tobytes())
+                bclusters.append(clusters[b0:b1].tobytes())
+                comp_bytes[i] = int(sizes[b0:b1].sum())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "source": pdf["source"],
+                "n_tok": fb.lens.astype("int32"),
+                "n_blocks": fb.nblocks.astype("int32"),
+                "block_sizes": bsizes, "block_flags": bflags,
+                "block_clusters": bclusters, "payload": payloads,
+                "comp_bytes": comp_bytes, "raw_bytes": fb.lens * 4,
+                "codec": "ibp_kmeans",
+            })
+
+    cols = ["doc_id", tokens_col, "source"]
+    return df.select(*cols).mapInPandas(encoder, schema=ENCODED_KMEANS_SCHEMA)
+
+
+def decode_ibp_kmeans(df: DataFrame, kp: KmeansParams) -> DataFrame:
+    v = kp.vec_size
+    masks, bitvals = kp.masks, kp.bitvals
+
+    def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ndocs = len(pdf)
+            lens = pdf["n_tok"].values.astype(np.int64)
+            nfull = lens // v
+            tail_len = lens % v
+            nblocks = nfull + (tail_len > 0)
+            if ndocs == 0 or nblocks.sum() == 0:
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "tokens": [np.zeros(0, np.int32)] * ndocs,
+                    "n_tok": pdf["n_tok"].astype("int32"),
+                    "source": pdf["source"]})
+                continue
+            sizes = np.concatenate(
+                [np.asarray(s, np.int64) for s in pdf["block_sizes"].values])
+            flat = np.frombuffer(
+                b"".join(pdf["payload"].values.tolist()), np.uint8)
+            offsets = np.cumsum(sizes) - sizes
+            bits = np.unpackbits(np.frombuffer(
+                b"".join(pdf["block_flags"].values.tolist()), np.uint8),
+                bitorder="little")
+            doc_flag_bits = ((nblocks + 7) // 8) * 8
+            fb_start = np.cumsum(doc_flag_bits) - doc_flag_bits
+            blk_start = np.cumsum(nblocks) - nblocks
+            within = (np.arange(int(nblocks.sum()), dtype=np.int64)
+                      - np.repeat(blk_start, nblocks))
+            is_comp = bits[np.repeat(fb_start, nblocks) + within].astype(bool)
+            clusters = np.frombuffer(
+                b"".join(pdf["block_clusters"].values.tolist()), np.uint8)
+            doc_of_block = np.repeat(np.arange(ndocs), nblocks)
+            is_tail = (tail_len[doc_of_block] > 0) & (
+                within == nblocks[doc_of_block] - 1)
+
+            full_dec = np.zeros((int((~is_tail).sum()), v), np.uint32)
+            fpos = np.cumsum(~is_tail) - 1  # full-block ordinal per block
+            for c in np.unique(clusters[~is_tail]):
+                sel = ~is_tail & (clusters == c)
+                buf = gather_ranges(flat, offsets[sel], sizes[sel])
+                full_dec[fpos[sel]] = nr.decode_concat(
+                    buf, sizes[sel], is_comp[sel], v, masks[c], bitvals[c])
+
+            tail_dec: dict[int, np.ndarray] = {}
+            tails: dict[int, tuple] = {}
+            tsel = np.flatnonzero(is_tail)
+            if tsel.size:
+                widths = tail_len[doc_of_block[tsel]]
+                order = np.argsort(widths, kind="stable")
+                tsel, widths = tsel[order], widths[order]
+                uniq, gs = np.unique(widths, return_index=True)
+                ge = np.append(gs[1:], widths.size)
+                for L, s, e in zip(uniq, gs, ge):
+                    L = int(L)
+                    sel = tsel[s:e]
+                    dec = np.zeros((sel.size, L), np.uint32)
+                    for c in np.unique(clusters[sel]):
+                        cs = sel[clusters[sel] == c]
+                        buf = gather_ranges(flat, offsets[cs], sizes[cs])
+                        dec[clusters[sel] == c] = nr.decode_concat(
+                            buf, sizes[cs], is_comp[cs], L,
+                            masks[c][:L], bitvals[c][:L])
+                    tail_dec[L] = dec
+                    tails[L] = (None, doc_of_block[sel])
+
+            fb = FramedBatch(lens, nfull, tail_len, nblocks,
+                             full_dec, tails, v)
+            toks = unframe_batch(fb, full_dec, tail_dec)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"], "tokens": toks,
+                "n_tok": pdf["n_tok"].astype("int32"),
+                "source": pdf["source"]})
+
+    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    return df.select("doc_id", "n_blocks", "block_sizes", "block_flags",
+                     "block_clusters", "payload", "n_tok", "source"
+                     ).mapInPandas(decoder, schema=schema)

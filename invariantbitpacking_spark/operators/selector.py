@@ -64,14 +64,15 @@ def predict_sizes(flat: np.ndarray, lens: np.ndarray, fb,
         runs = np.zeros(len(lens), np.int64)
     out["rle"] = 4 + 8 * runs
 
-    # per-row cardinality via one global lexsort
+    # per-row cardinality via one flat uint64 sort (row << 32 | value)
     if total:
-        row_of = np.repeat(np.arange(len(lens)), lens)
-        order = np.lexsort((flat, row_of))
-        sv, sr = flat[order], row_of[order]
+        row_of = np.repeat(np.arange(len(lens), dtype=np.uint64), lens)
+        key = (row_of << np.uint64(32)) | flat.astype(np.uint64)
+        key.sort(kind="stable")
         new = np.ones(total, bool)
-        new[1:] = (sv[1:] != sv[:-1]) | (sr[1:] != sr[:-1])
-        card = np.bincount(sr[new], minlength=len(lens)).astype(np.int64)
+        new[1:] = key[1:] != key[:-1]
+        card = np.bincount((key[new] >> np.uint64(32)).astype(np.int64),
+                           minlength=len(lens)).astype(np.int64)
     else:
         card = np.zeros(len(lens), np.int64)
     dict_sz = 4 + 4 * card + nchunks * width_for(

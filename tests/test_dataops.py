@@ -1,0 +1,94 @@
+"""Training-data ops: dedup finds planted duplicates, ANN matches
+numpy ground truth, text metrics behave."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from invariantbitpacking_spark.functions import dataops
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rng = np.random.default_rng(4)
+    words = [f"w{i:03d}" for i in range(200)]
+    rows = []
+    base_texts = []
+    for i in range(40):
+        t = " ".join(rng.choice(words, 60))
+        base_texts.append(t)
+        rows.append((f"base-{i:03d}", t))
+    # planted near-duplicates: one word substituted
+    for i in range(10):
+        w = base_texts[i].split(" ")
+        w[30] = "CHANGED"
+        rows.append((f"near-{i:03d}", " ".join(w)))
+    # planted exact duplicates
+    rows.append(("exact-a", base_texts[0]))
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_dedup_exact_finds_planted(spark, planted_docs):
+    groups = dataops.dedup_exact(planted_docs)
+    dupes = groups.filter(F.col("copies") > 1).collect()
+    assert len(dupes) == 1
+    assert dupes[0]["copies"] == 2
+    assert dupes[0]["keep_doc_id"] == "base-000"
+
+
+def test_minhash_lsh_finds_near_duplicates(spark, planted_docs):
+    pairs = dataops.minhash_lsh_pairs(planted_docs, jaccard_threshold=0.5)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    # every planted near-dup pair must surface
+    for i in range(10):
+        assert (f"base-{i:03d}", f"near-{i:03d}") in got, i
+    # the exact pair too
+    assert ("base-000", "exact-a") in got
+    # no random-vs-random false positives at this threshold
+    # (exact-a is a copy of base-000, so it aliases its near-dup too)
+    def canon(d):
+        return "000" if d == "exact-a" else d.split("-")[1]
+
+    for a, b in got:
+        assert canon(a) == canon(b), (a, b)
+
+
+def test_simhash_distance_separates(spark, planted_docs):
+    sh = {r["doc_id"]: r["simhash"] for r in
+          dataops.simhash64(planted_docs).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    near = [ham(sh[f"base-{i:03d}"], sh[f"near-{i:03d}"]) for i in range(10)]
+    far = [ham(sh["base-001"], sh[f"base-{i:03d}"]) for i in range(10, 25)]
+    assert ham(sh["base-000"], sh["exact-a"]) == 0
+    assert max(near) < min(far), (near, far)
+
+
+def test_ann_exact_matches_numpy(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = dataops.ann_cosine_topk(emb, num_queries=4, k=3).collect()
+    local = emb.orderBy("vec_id").toPandas()
+    V = np.stack([np.asarray(v, np.float64) for v in local["embedding"]])
+    ids = local["vec_id"].values
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    sims = Vn @ Vn.T
+    for q in range(4):
+        s = sims[q].copy()
+        s[q] = -np.inf
+        order = np.lexsort((ids, -s))[:3]
+        expect = [int(ids[j]) for j in order]
+        mine = [r["vec_id"] for r in sorted(
+            (x for x in got if x["q_id"] == ids[q]), key=lambda r: r["rank"])]
+        assert mine == expect, (q, mine, expect)
+
+
+def test_ann_lsh_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = dataops.ann_cosine_topk(emb, num_queries=8, k=5)
+    approx = dataops.ann_lsh_topk(emb, num_queries=8, k=5, planes=4, num_tables=8)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, recall  # 8 tables x 4 planes: union recall

@@ -1,0 +1,57 @@
+"""Hamming k-means clustered masks: learning + clustered round-trip.
+
+Mirrors the reference's kmeans coverage: repeated-template multi-modal
+data where clustering materially beats the single global mask
+(reference tests/kmeans_test.py:43-74)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from invariantbitpacking_spark.operators import ibp, kmeans
+
+
+@pytest.fixture(scope="module")
+def clustered_df(spark):
+    """Multi-modal corpus: K=4 templates, rows = template | 4-bit noise."""
+    rng = np.random.default_rng(21)
+    templates = (rng.integers(0, 2**31, (4, 128), dtype=np.int64)
+                 .astype(np.int32) & ~np.int32(15))
+    rows = []
+    for i in range(240):
+        t = templates[i % 4]
+        n = int(rng.integers(2, 5)) * 128 + int(rng.integers(0, 100))
+        reps = -(-n // 128)
+        toks = (np.tile(t, reps)[:n]
+                | rng.integers(0, 16, n).astype(np.int32))
+        rows.append((f"c{i:04d}", toks.tolist(), n, "clustered"))
+    return spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    ).cache()
+
+
+def test_kmeans_roundtrip_and_beats_global(spark, clustered_df):
+    kp = kmeans.learn_kmeans(clustered_df, k=4, iters=5)
+    assert kp.k == 4
+    enc = kmeans.encode_ibp_kmeans(clustered_df, kp).cache()
+    dec = kmeans.decode_ibp_kmeans(enc, kp)
+    bad = (clustered_df.alias("a").join(dec.alias("b"), "doc_id")
+           .filter(F.col("a.tokens") != F.col("b.tokens")).count())
+    assert bad == 0
+
+    km_bytes = enc.agg(F.sum("comp_bytes")).collect()[0][0]
+    gp = ibp.learn_params(clustered_df)
+    g_bytes = (ibp.encode_ibp(clustered_df, gp)
+               .agg(F.sum("comp_bytes")).collect()[0][0])
+    # 4 disjoint templates: per-cluster masks must crush the global mask
+    assert km_bytes < g_bytes * 0.7, (km_bytes, g_bytes)
+
+
+def test_kmeans_on_unimodal_is_safe(spark, tokens_df):
+    """On non-clustered data k-means must still round-trip."""
+    kp = kmeans.learn_kmeans(tokens_df, k=3, iters=2, sample_fraction=0.5)
+    sub = tokens_df.limit(100)
+    dec = kmeans.decode_ibp_kmeans(kmeans.encode_ibp_kmeans(sub, kp), kp)
+    bad = (sub.alias("a").join(dec.alias("b"), "doc_id")
+           .filter(F.col("a.tokens") != F.col("b.tokens")).count())
+    assert bad == 0
