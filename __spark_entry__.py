@@ -223,6 +223,32 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_fsst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FSST-lite string codec over document text: per-source doc count
+    and lossless-round-trip count (oracle: both equal COUNT(*))."""
+    import pandas as pd
+
+    def rt(batches):
+        import numpy as np
+
+        from invariantbitpacking_spark.codecs import fsst
+
+        for pdf in batches:
+            texts = pdf["text"].fillna("").tolist()
+            flat, lens = fsst.strings_to_flat(texts)
+            table = fsst.build_table(flat[:200_000])
+            enc, enc_lens = fsst.encode_strings(flat, lens, table)
+            dec, dec_lens = fsst.decode_strings(enc, enc_lens, table)
+            ok = np.array(fsst.flat_to_strings(dec, dec_lens)) == np.array(texts)
+            yield pd.DataFrame({"source": pdf["source"],
+                                "ok": ok.astype("int64")})
+
+    docs = _docs(spark, sf_dir).select("source", "text")
+    res = docs.mapInPandas(rt, schema="source string, ok long")
+    return res.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("ok").alias("ok_docs"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invariantbitpacking_spark.functions.dataops import lang_id
 
@@ -248,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
+        "fsst_roundtrip": q_fsst_roundtrip,
     }
 
 
@@ -324,6 +351,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(row_runs) AS BIGINT) AS sum_row_runs,
                    COUNT(*) AS docs
             FROM per_row GROUP BY source
+        """,
+        "fsst_roundtrip": """
+            SELECT source, COUNT(*) AS docs, COUNT(*) AS ok_docs
+            FROM documents GROUP BY source
         """,
         "dedup_exact": """
             SELECT md5(text) AS h,
