@@ -152,6 +152,26 @@ def q_codec_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("codec"))
 
 
+def q_gather_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gather-by-index decode (decompress_fetch with index_arr,
+    reference src/decompress.cu:56-98): a broadcast semi-join selects a
+    subset of encoded documents, only those are decoded; the oracle
+    recomputes the same docs' first/last tokens straight from the text,
+    so values prove the gathered decode is bit-faithful."""
+    from invariantbitpacking_spark.operators import ibp
+
+    toks = _tokens(spark, sf_dir)
+    params = ibp.learn_params(toks)
+    enc = ibp.encode_ibp(toks, params)
+    wanted = toks.select("doc_id").filter(F.col("doc_id").endswith("7"))
+    gathered = enc.join(F.broadcast(wanted), "doc_id")
+    dec = ibp.decode_ibp(gathered, params)
+    return dec.select(
+        "doc_id", "n_tok",
+        F.element_at("tokens", 1).alias("tok_first"),
+        F.element_at("tokens", -1).alias("tok_last"))
+
+
 def q_lineitem_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selector input statistics: min/max/NDV/count per column."""
     from invariantbitpacking_spark.functions.stats import column_stats
@@ -263,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_roundtrip_by_source": q_auto_roundtrip_by_source,
         "codec_mix": q_codec_mix,
         "ibp_ratio_by_source": q_ibp_ratio_by_source,
+        "gather_decode": q_gather_decode,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
         "dedup_exact": q_dedup_exact,
@@ -351,6 +372,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(row_runs) AS BIGINT) AS sum_row_runs,
                    COUNT(*) AS docs
             FROM per_row GROUP BY source
+        """,
+        "gather_decode": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(toks) AS INT) AS n_tok,
+                   CAST(toks[1] AS INT) AS tok_first,
+                   CAST(toks[-1] AS INT) AS tok_last
+            FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+            WHERE CAST(doc_id AS VARCHAR) LIKE '%7'
         """,
         "fsst_roundtrip": """
             SELECT source, COUNT(*) AS docs, COUNT(*) AS ok_docs
