@@ -169,6 +169,8 @@ def decode_dfor(flat_bytes: np.ndarray, sizes: np.ndarray, lens: np.ndarray):
     d = _unpack_grouped(flat_bytes, off + 9, lens, w).astype(np.int64)
     d += np.repeat(refs, lens)
     # segmented cumsum: global cumsum minus the value just before each row
+    if d.size == 0:
+        return d.astype(np.uint32)
     starts = np.cumsum(lens) - lens
     g = np.cumsum(d)
     prev = np.where(starts > 0, g[np.maximum(starts - 1, 0)], 0)

@@ -140,6 +140,24 @@ def generate_tokens_df(spark: "SparkSession", num_rows: int,
     return df
 
 
+def read_tokens_table(spark: "SparkSession", path: str,
+                      fmt: str = "auto") -> "DataFrame":
+    """Read a (doc_id, tokens, n_tok, source) table.
+
+    ``fmt='auto'`` prefers an Iceberg table (the production input per
+    BASELINE.json input_hint) when the Iceberg runtime is on the
+    classpath, else falls back to plain parquet — the sandbox ships no
+    Iceberg jars, the code path is the same either way (a V2 scan with
+    pushdown + pruning)."""
+    if fmt in ("auto", "iceberg"):
+        try:
+            return spark.read.format("iceberg").load(path)
+        except Exception:
+            if fmt == "iceberg":
+                raise
+    return spark.read.parquet(path)
+
+
 # Deterministic word -> token-id hash, expressible identically in Spark
 # and ANSI SQL (DuckDB oracle): both agree that ascii('') == 0.
 TOKENIZER_SQL_LAMBDA = (
