@@ -101,13 +101,12 @@ def unframe_batch(fb: FramedBatch, full_dec: np.ndarray,
     tgt = gather_ranges(np.arange(total, dtype=np.int64),
                         doc_tok_start, fb.nfull * v)
     flat[tgt] = full_flat
-    # scatter tails
+    # scatter tails: same width within a group, so targets broadcast
+    # directly (no O(total) index build per group)
     for L, (mat, docs) in fb.tails.items():
-        dec = tail_dec[L].view(np.int32).reshape(-1)
+        dec = tail_dec[L].view(np.int32).reshape(-1, L)
         tstarts = doc_tok_start[docs] + fb.nfull[docs] * v
-        tgt = gather_ranges(np.arange(total, dtype=np.int64),
-                            tstarts, np.full(docs.size, L, np.int64))
-        flat[tgt] = dec
+        flat[tstarts[:, None] + np.arange(L)[None, :]] = dec
     return [flat[int(doc_tok_start[i]): int(doc_tok_start[i]) + int(fb.lens[i])]
             for i in range(ndocs)]
 
