@@ -83,6 +83,21 @@ def main() -> None:
     dec_toks, dec_docs = timed("q3_decode", run_decode)
     extras["decode_tokens_per_sec"] = round(dec_toks / timings["q3_decode"], 1)
 
+    # q3b: mixed-codec decode (auto family)
+    auto_path = enc_path + "_auto"
+    from invariantbitpacking_spark.operators import selector
+    selector.encode_auto(toks, params).write.mode("overwrite").parquet(auto_path)
+    auto_df = spark.read.parquet(auto_path).cache()
+    auto_df.count()
+
+    def run_decode_auto():
+        dec = selector.decode_auto(auto_df, params)
+        return dec.agg(F.sum("n_tok")).collect()[0][0]
+
+    adec_toks = timed("q3b_decode_auto", run_decode_auto)
+    extras["auto_decode_tokens_per_sec"] = round(
+        adec_toks / timings["q3b_decode_auto"], 1)
+
     # q4: full round-trip verification (encode+decode+join equality)
     def run_verify():
         dec = ibp.decode_ibp(enc_df, params)
