@@ -26,6 +26,37 @@ import numpy as np
 VEC_SIZE = 128
 
 
+MAX_BATCH_TOKENS = 16_000_000  # ~64 MB of int32 per UDF sub-batch
+
+
+def split_by_token_mass(pdf, tokens_col: str = "tokens",
+                        max_tokens: int | None = None):
+    """Split one Arrow batch into sub-batches bounded by total token
+    count.  Spark caps batches by ROW count
+    (spark.sql.execution.arrow.maxRecordsPerBatch) but not by bytes, so
+    a batch of long documents could otherwise materialize multi-GB
+    framing buffers inside the Python worker.
+
+    ``tokens_col`` may be the token-array column or an integer length
+    column (e.g. ``n_tok`` on already-encoded tables)."""
+    if max_tokens is None:
+        max_tokens = MAX_BATCH_TOKENS
+    vals = pdf[tokens_col].values
+    if vals.dtype == object:
+        lens = np.fromiter((len(a) for a in vals), np.int64, count=len(pdf))
+    else:
+        lens = np.asarray(vals, np.int64)
+    if lens.sum() <= max_tokens:
+        yield pdf
+        return
+    bucket = np.minimum(np.cumsum(lens) // max_tokens, np.iinfo(np.int64).max)
+    start = 0
+    for i in range(1, len(pdf) + 1):
+        if i == len(pdf) or bucket[i] != bucket[start]:
+            yield pdf.iloc[start:i].reset_index(drop=True)
+            start = i
+
+
 def gather_ranges(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Concatenate flat[starts[i] : starts[i]+lengths[i]] for all i —
     vectorized variable-length gather (no per-range Python)."""

@@ -38,7 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import numpy_ref as nr
-from .framing import VEC_SIZE, FramedBatch, frame_batch, gather_ranges, unframe_batch
+from .framing import (VEC_SIZE, FramedBatch, frame_batch, gather_ranges,
+                      split_by_token_mass, unframe_batch)
 
 
 @dataclass
@@ -105,7 +106,8 @@ def bit_count_df(df: DataFrame, tokens_col: str = "tokens",
     scheme (ibp_preproc_kernels.cuh:8-31)."""
 
     def counter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, tokens_col):
             fb = frame_batch(pdf[tokens_col].values, vec_size)
             counts, cov = _batch_counts(fb, vec_size)
             yield pd.DataFrame({
@@ -164,7 +166,8 @@ def learn_params(df: DataFrame, tokens_col: str = "tokens",
     # Single evaluation pass for ALL thresholds: per batch, per-block
     # gated savings (ibp_preproc_kernels.cuh:69-72) summed per candidate.
     def evaluator(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, tokens_col):
             fb = frame_batch(pdf[tokens_col].values, vec_size)
             saveds = np.zeros(len(grid), np.int64)
             for g in range(len(grid)):
@@ -251,7 +254,8 @@ def encode_batch(fb: FramedBatch, mask: np.ndarray, bitval: np.ndarray):
 
 
 def encode_ibp(df: DataFrame, params: IbpParams,
-               tokens_col: str = "tokens") -> DataFrame:
+               tokens_col: str = "tokens",
+               max_batch_tokens: int | None = None) -> DataFrame:
     """Encode the tokens table into per-document condensed blobs.
 
     Output row = one document: ``payload`` holds its blocks'
@@ -262,7 +266,8 @@ def encode_ibp(df: DataFrame, params: IbpParams,
     mask, bitval, v = params.mask, params.bitval, params.vec_size
 
     def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, tokens_col, max_batch_tokens):
             fb = frame_batch(pdf[tokens_col].values, v)
             payloads, bsizes, bflags, comp_bytes = encode_batch(fb, mask, bitval)
             yield pd.DataFrame({
@@ -359,13 +364,15 @@ def predict_sizes_ibp(fb: FramedBatch, mask: np.ndarray,
     return out
 
 
-def decode_ibp(df: DataFrame, params: IbpParams) -> DataFrame:
+def decode_ibp(df: DataFrame, params: IbpParams,
+               max_batch_tokens: int | None = None) -> DataFrame:
     """Decode an encoded table back to ``(doc_id, tokens, n_tok,
     source)`` — per-row inverse, bit-identical token arrays."""
     mask, bitval, v = params.mask, params.bitval, params.vec_size
 
     def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, "n_tok", max_batch_tokens):
             toks = decode_docs(
                 pdf["n_tok"].values, pdf["block_sizes"].values,
                 pdf["block_flags"].values.tolist(),

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 
 from ..codecs import lightweight as lw
 from ..codecs.bitutil import width_for
-from .framing import frame_batch, gather_ranges
+from .framing import frame_batch, gather_ranges, split_by_token_mass
 from .ibp import ENCODED_SCHEMA, IbpParams, decode_docs, encode_batch, predict_sizes_ibp
 
 # raw first so an incompressible document ties (ibp clamps to raw size)
@@ -161,14 +161,16 @@ def total_of(lens) -> int:
 def encode_auto(df: DataFrame, params: IbpParams,
                 tokens_col: str = "tokens",
                 allowed: tuple[str, ...] = CODEC_ORDER,
-                passthrough: tuple[str, ...] = ()) -> DataFrame:
+                passthrough: tuple[str, ...] = (),
+                max_batch_tokens: int | None = None) -> DataFrame:
     """Auto-selected encode: same output schema as encode_ibp, with the
     ``codec`` column recording the per-document choice.  ``passthrough``
     columns (e.g. a salt bucket) are carried to the output unchanged —
     cheaper than re-joining them afterwards."""
 
     def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, tokens_col, max_batch_tokens):
             arrays = list(pdf[tokens_col].values)
             (codecs, payloads, bsizes, bflags, comp_bytes, lens,
              nblocks) = encode_docs_auto(arrays, params, allowed)
@@ -198,12 +200,14 @@ def encode_auto(df: DataFrame, params: IbpParams,
     return df.select(*cols).mapInPandas(encoder, schema=schema)
 
 
-def decode_auto(df: DataFrame, params: IbpParams) -> DataFrame:
+def decode_auto(df: DataFrame, params: IbpParams,
+                max_batch_tokens: int | None = None) -> DataFrame:
     """Decode a mixed-codec encoded table (inverse of encode_auto)."""
     mask, bitval, v = params.mask, params.bitval, params.vec_size
 
     def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, "n_tok", max_batch_tokens):
             ndocs = len(pdf)
             lens = pdf["n_tok"].values.astype(np.int64)
             codecs = pdf["codec"].values

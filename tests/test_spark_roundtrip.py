@@ -135,3 +135,20 @@ def test_empty_and_single_token_docs(spark):
     p = ibp.learn_params(df)
     dec = ibp.decode_ibp(ibp.encode_ibp(df, p), p).orderBy("doc_id").collect()
     assert [r["tokens"] for r in dec] == [r[1] for r in rows]
+
+
+def test_roundtrip_with_forced_sub_batching(spark, tokens_df, params):
+    """Token-mass sub-batching (memory guard for long-doc batches) must
+    not change results: force tiny sub-batches through the executor
+    closures and round-trip."""
+    sub = tokens_df.limit(120)
+    enc = ibp.encode_ibp(sub, params, max_batch_tokens=5_000)
+    dec = ibp.decode_ibp(enc, params, max_batch_tokens=5_000)
+    bad = (sub.alias("a").join(dec.alias("b"), "doc_id")
+           .filter(F.col("a.tokens") != F.col("b.tokens")).count())
+    assert bad == 0
+    # byte-identity with the unsplit path
+    a = {r["doc_id"]: bytes(r["payload"]) for r in enc.collect()}
+    b = {r["doc_id"]: bytes(r["payload"])
+         for r in ibp.encode_ibp(sub, params).collect()}
+    assert a == b
