@@ -43,7 +43,8 @@ def split_by_token_mass(pdf, tokens_col: str = "tokens",
         max_tokens = MAX_BATCH_TOKENS
     vals = pdf[tokens_col].values
     if vals.dtype == object:
-        lens = np.fromiter((len(a) for a in vals), np.int64, count=len(pdf))
+        lens = np.fromiter((len(a) if a is not None else 0 for a in vals),
+                           np.int64, count=len(pdf))
     else:
         lens = np.asarray(vals, np.int64)
     if lens.sum() <= max_tokens:
@@ -85,7 +86,9 @@ class FramedBatch:
 
 
 def frame_batch(token_arrays, vec_size: int = VEC_SIZE) -> FramedBatch:
-    arrs = [np.asarray(a, np.int32) for a in token_arrays]
+    # null arrays (SQL NULL tokens) are treated as empty documents
+    arrs = [np.asarray(a, np.int32) if a is not None else np.zeros(0, np.int32)
+            for a in token_arrays]
     ndocs = len(arrs)
     lens = np.fromiter((a.size for a in arrs), np.int64, count=ndocs)
     nfull = lens // vec_size

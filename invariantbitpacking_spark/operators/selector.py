@@ -107,7 +107,8 @@ def encode_docs_auto(token_arrays, params: IbpParams,
     lens = fb.lens
     ndocs = len(lens)
     starts = np.cumsum(lens) - lens
-    flat = (np.concatenate([np.asarray(a, np.int32) for a in token_arrays])
+    flat = (np.concatenate([np.asarray(a, np.int32) for a in token_arrays
+                            if a is not None])
             if total_of(lens) else np.zeros(0, np.int32)).view(np.uint32)
     sizes = predict_sizes(flat, lens, fb, params)
     pick = choose_codec(sizes, allowed)
@@ -124,7 +125,7 @@ def encode_docs_auto(token_arrays, params: IbpParams,
         if docs.size == 0:
             continue
         if codec == "ibp":
-            sub_fb = frame_batch([token_arrays[i] for i in docs], v)
+            sub_fb = frame_batch([token_arrays[i] for i in docs], v)  # frame_batch null-safe
             p, bs, bf, cb = encode_batch(sub_fb, params.mask, params.bitval)
             for k, dI in enumerate(docs):
                 payloads[dI], bsizes[dI], bflags[dI] = p[k], bs[k], bf[k]
@@ -132,7 +133,8 @@ def encode_docs_auto(token_arrays, params: IbpParams,
             nblocks_out[docs] = sub_fb.nblocks
         elif codec == "raw":
             for dI in docs:
-                arr = np.asarray(token_arrays[dI], np.int32)
+                a = token_arrays[dI]
+                arr = np.asarray(a if a is not None else [], np.int32)
                 payloads[dI] = arr.astype("<i4").tobytes()
                 bsizes[dI] = np.array([arr.size * 4], np.int32)
                 bflags[dI] = b"\x00"

@@ -152,3 +152,16 @@ def test_roundtrip_with_forced_sub_batching(spark, tokens_df, params):
     b = {r["doc_id"]: bytes(r["payload"])
          for r in ibp.encode_ibp(sub, params).collect()}
     assert a == b
+
+
+def test_null_token_arrays_treated_as_empty(spark, params):
+    rows = [("n0", None, 0, "edge"), ("n1", [1, 2, 3], 3, "edge")]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    from invariantbitpacking_spark.operators import selector
+
+    for enc_fn, dec_fn in [(ibp.encode_ibp, ibp.decode_ibp),
+                           (selector.encode_auto, selector.decode_auto)]:
+        dec = {r["doc_id"]: r["tokens"]
+               for r in dec_fn(enc_fn(df, params), params).collect()}
+        assert dec["n0"] == [] and dec["n1"] == [1, 2, 3]
