@@ -212,6 +212,14 @@ def q_lineitem_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(li, ["l_partkey", "l_suppkey", "l_orderkey"])
 
 
+def q_bitwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-width histogram selector statistic (north-rule input):
+    per-source distribution of per-document FOR widths."""
+    from invariantbitpacking_spark.functions.stats import bitwidth_histogram
+
+    return bitwidth_histogram(_tokens(spark, sf_dir))
+
+
 def q_token_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Codec-selector statistics per source partition (cardinality, value
     range, run count) computed with array functions, no explode."""
@@ -319,6 +327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensed_offsets": q_condensed_offsets,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
+        "bitwidth_histogram": q_bitwidth_histogram,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -417,6 +426,18 @@ def oracle_sql() -> dict[str, str]:
         "fsst_roundtrip": """
             SELECT source, COUNT(*) AS docs, COUNT(*) AS ok_docs
             FROM documents GROUP BY source
+        """,
+        "bitwidth_histogram": f"""
+            WITH t AS (SELECT {_TOK} AS toks, source FROM documents),
+            w AS (SELECT source,
+                         CASE WHEN len(toks) = 0 THEN 0
+                              WHEN list_max(toks) = list_min(toks) THEN 0
+                              ELSE length(bin(CAST(list_max(toks) - list_min(toks) AS BIGINT)))
+                         END AS bit_width
+                  FROM t)
+            SELECT source, CAST(bit_width AS INT) AS bit_width,
+                   COUNT(*) AS docs
+            FROM w GROUP BY source, bit_width
         """,
         "dedup_exact": """
             SELECT md5(text) AS h,

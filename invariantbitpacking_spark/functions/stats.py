@@ -40,6 +40,25 @@ def bit_width(col: Column) -> Column:
     return F.ceil(F.log2(col + F.lit(1))).cast("int")
 
 
+def bitwidth_histogram(tokens_df: DataFrame) -> DataFrame:
+    """Selector input: histogram of per-document FOR bit widths
+    (``ceil(log2(max - min + 1))``) keyed by source — how many bits the
+    frame-of-reference codec needs per document.  Pure expressions:
+    array_min/max per row, then a two-key hash aggregation."""
+    t = F.col("tokens")
+    rng = (F.array_max(t).cast("long") - F.array_min(t).cast("long"))
+    # integer bit length via binary-string length: exact, unlike float
+    # log2 which can straddle a ulp at powers of two across engines
+    width = (F.when(F.size(t) == 0, F.lit(0))
+             .when(rng == 0, F.lit(0))
+             .otherwise(F.length(F.conv(rng.cast("string"), 10, 2)))
+             .cast("int"))
+    return (tokens_df
+            .select("source", width.alias("bit_width"))
+            .groupBy("source", "bit_width")
+            .agg(F.count(F.lit(1)).alias("docs")))
+
+
 def token_stats_per_source(tokens_df: DataFrame) -> DataFrame:
     """Selector inputs per source partition: token count, distinct
     tokens (approx at scale), min/max token, mean run length proxy.
