@@ -212,6 +212,18 @@ def q_lineitem_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(li, ["l_partkey", "l_suppkey", "l_orderkey"])
 
 
+def q_codec_sizes_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted bytes of EVERY codec per source (Table-4 analog:
+    IBP invariance savings vs bitpack baselines, reference
+    tests/invariance_perc.py:27-76); rows-only check, sizes are
+    pytest-exact."""
+    from invariantbitpacking_spark.operators.selector import (
+        predicted_sizes_by_source)
+
+    toks = _tokens(spark, sf_dir)
+    return predicted_sizes_by_source(toks, _params(spark, sf_dir))
+
+
 def q_bitwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-width histogram selector statistic (north-rule input):
     per-source distribution of per-document FOR widths."""
@@ -328,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
         "bitwidth_histogram": q_bitwidth_histogram,
+        "codec_sizes_by_source": q_codec_sizes_by_source,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,

@@ -21,7 +21,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import lightweight as lw
 from ..codecs.bitutil import width_for
@@ -200,6 +200,42 @@ def encode_auto(df: DataFrame, params: IbpParams,
             for f in df.select(*passthrough).schema.fields)
         schema = f"{ENCODED_SCHEMA}, {extra}"
     return df.select(*cols).mapInPandas(encoder, schema=schema)
+
+
+def predicted_sizes_by_source(df: DataFrame, params: IbpParams,
+                              tokens_col: str = "tokens") -> DataFrame:
+    """Per-(source, codec) predicted total bytes for EVERY candidate
+    codec over the same data — the analog of the reference's Table-4
+    invariance-vs-bitpack comparison (tests/invariance_perc.py:27-76),
+    with the whole codec family instead of two baselines.  One scan, no
+    encoding."""
+
+    def sizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, tokens_col):
+            arrays = list(pdf[tokens_col].values)
+            fb = frame_batch(arrays, params.vec_size)
+            starts = np.cumsum(fb.lens) - fb.lens
+            flat = (np.concatenate([np.asarray(a, np.int32) for a in arrays
+                                    if a is not None])
+                    if fb.lens.sum() else np.zeros(0, np.int32)).view(np.uint32)
+            sizes = predict_sizes(flat, fb.lens, fb, params)
+            src = pdf["source"].values
+            outs = []
+            for codec, sz in sizes.items():
+                valid = sz < np.iinfo(np.int64).max
+                d = pd.DataFrame({"source": src[valid], "codec": codec,
+                                  "bytes": sz[valid]})
+                outs.append(d.groupby(["source", "codec"], as_index=False)
+                            .agg(total_bytes=("bytes", "sum"),
+                                 docs=("bytes", "size")))
+            yield pd.concat(outs, ignore_index=True)
+
+    part = df.select(tokens_col, "source").mapInPandas(
+        sizer, schema="source string, codec string, total_bytes long, docs long")
+    return (part.groupBy("source", "codec")
+            .agg(F.sum("total_bytes").alias("total_bytes"),
+                 F.sum("docs").alias("docs")))
 
 
 def decode_auto(df: DataFrame, params: IbpParams,
