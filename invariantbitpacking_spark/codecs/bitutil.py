@@ -32,12 +32,27 @@ def width_for(max_delta: np.ndarray) -> np.ndarray:
     return w
 
 
+def _transpose8x8(x: np.ndarray) -> np.ndarray:
+    """8x8 bit-matrix transpose on uint64 lanes (Hacker's Delight 7-3),
+    vectorized over an array of matrices."""
+    t = (x ^ (x >> np.uint64(7))) & np.uint64(0x00AA00AA00AA00AA)
+    x = x ^ t ^ (t << np.uint64(7))
+    t = (x ^ (x >> np.uint64(14))) & np.uint64(0x0000CCCC0000CCCC)
+    x = x ^ t ^ (t << np.uint64(14))
+    t = (x ^ (x >> np.uint64(28))) & np.uint64(0x00000000F0F0F0F0)
+    return x ^ t ^ (t << np.uint64(28))
+
+
 def pack_fixed(flat_vals: np.ndarray, lens: np.ndarray, w: int):
     """Pack rows of w-bit values (concatenated in ``flat_vals`` with row
     lengths ``lens``) into byte-plane chunks.
 
     Returns ``(bytes_flat uint8, row_byte_sizes int64)``; rows are
     back-to-back in ``bytes_flat``.
+
+    A chunk's w plane bytes are the bit-transpose of its 8 value bytes,
+    computed with uint64-lane 8x8 transposes (one per byte-plane group)
+    — a few word ops per chunk instead of an unpackbits 8x expansion.
     """
     lens = np.asarray(lens, np.int64)
     if w == 0:
@@ -45,19 +60,23 @@ def pack_fixed(flat_vals: np.ndarray, lens: np.ndarray, w: int):
     nchunks = -(-lens // 8)
     tot_chunks = int(nchunks.sum())
     padded = np.zeros(tot_chunks * 8, np.uint32)
-    starts = np.cumsum(lens) - lens
     pad_starts = (np.cumsum(nchunks) - nchunks) * 8
     tgt = gather_ranges(np.arange(tot_chunks * 8, dtype=np.int64), pad_starts, lens)
     padded[tgt] = np.asarray(flat_vals, np.uint32)
-    # [chunks, 8 values, 32 bits MSB-first] -> keep low w bits -> transpose
-    # to [chunks, w planes, 8 values] -> packbits = byte-plane layout,
-    # three C-level passes instead of a per-bit Python loop
-    bits = np.unpackbits(
-        padded.reshape(-1, 8).astype(">u4").view(np.uint8).reshape(tot_chunks, 8, 4),
-        axis=2, count=32).reshape(tot_chunks, 8, 32)[:, :, 32 - w:]
-    planes = np.ascontiguousarray(bits.transpose(0, 2, 1)).reshape(tot_chunks, w * 8)
-    out = np.packbits(planes, axis=1)
-    return out.reshape(-1), nchunks * w
+    c = padded.reshape(-1, 8)
+
+    ceil8 = -(-w // 8) * 8
+    vshift = c << np.uint32(ceil8 - w)  # left-align to the group grid
+    out = np.empty((tot_chunks, ceil8), np.uint8)
+    for g in range(ceil8 // 8):
+        ybytes = ((vshift >> np.uint32(ceil8 - 8 * (g + 1)))
+                  & np.uint32(0xFF)).astype(np.uint8)
+        # y_i at byte (7-i): reverse columns, view as LE uint64 lanes
+        x = np.ascontiguousarray(ybytes[:, ::-1]).view("<u8").reshape(-1)
+        z = _transpose8x8(x)
+        planes = z.view(np.uint8).reshape(tot_chunks, 8)[:, ::-1]
+        out[:, g * 8:(g + 1) * 8] = planes
+    return np.ascontiguousarray(out[:, :w]).reshape(-1), nchunks * w
 
 
 def unpack_fixed(bytes_flat: np.ndarray, lens: np.ndarray, w: int) -> np.ndarray:
@@ -70,14 +89,17 @@ def unpack_fixed(bytes_flat: np.ndarray, lens: np.ndarray, w: int) -> np.ndarray
     nchunks = -(-lens // 8)
     tot_chunks = int(nchunks.sum())
     planes = np.asarray(bytes_flat, np.uint8)[: tot_chunks * w].reshape(tot_chunks, w)
-    bits = np.unpackbits(planes, axis=1).reshape(tot_chunks, w, 8)
-    # [chunks, w planes, 8 values] -> [chunks, 8, w] -> left-pad to 32
-    # bits MSB-first -> packbits -> big-endian uint32
-    full = np.zeros((tot_chunks, 8, 32), np.uint8)
-    full[:, :, 32 - w:] = bits.transpose(0, 2, 1)
-    vals = (np.packbits(full.reshape(tot_chunks, 8 * 32), axis=1)
-            .reshape(tot_chunks, 8, 4).copy().view(">u4")
-            .reshape(tot_chunks, 8).astype(np.uint32))
+    ceil8 = -(-w // 8) * 8
+    full = np.zeros((tot_chunks, ceil8), np.uint8)
+    full[:, :w] = planes
+    vals = np.zeros((tot_chunks, 8), np.uint32)
+    for g in range(ceil8 // 8):
+        grp = full[:, g * 8:(g + 1) * 8]
+        x = np.ascontiguousarray(grp[:, ::-1]).view("<u8").reshape(-1)
+        z = _transpose8x8(x)  # involution: planes -> value bytes
+        ybytes = z.view(np.uint8).reshape(tot_chunks, 8)[:, ::-1]
+        vals |= ybytes.astype(np.uint32) << np.uint32(ceil8 - 8 * (g + 1))
+    vals >>= np.uint32(ceil8 - w)
     padded = vals.reshape(-1)
     pad_starts = (np.cumsum(nchunks) - nchunks) * 8
     return gather_ranges(padded, pad_starts, lens)
