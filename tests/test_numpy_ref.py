@@ -227,3 +227,42 @@ class TestPreprocess:
         assert ((mask[:64] & np.uint32(0xFFFF0000)) == np.uint32(0xFFFF0000)).all()
         assert ((bitval[:64] & np.uint32(0xFFFF0000)) == pattern).all()
         assert theta is not None and theta <= 0.95 + 1e-6
+
+
+class TestReferenceGeneratedTensors:
+    """The reference's own generated-tensor cases
+    (tests/compress_test.py:29-46), including float bit patterns
+    reinterpreted as integer words."""
+
+    def _roundtrip(self, mat):
+        mask, bitval, _, _ = nr.preprocess(mat)
+        blobs, is_comp, sizes = nr.encode_matrix(mat, mask, bitval)
+        out = nr.decode_matrix(blobs, is_comp, mat.shape[1], mask, bitval)
+        np.testing.assert_array_equal(out, nr._as_unsigned(mat))
+        assert (sizes <= mat.shape[1] * mat.dtype.itemsize).all()
+
+    def test_rand_float32_view(self):
+        rng = np.random.default_rng(0)
+        f = rng.random((1200, 128), dtype=np.float32)
+        self._roundtrip(f.view(np.uint32))
+
+    def test_rand_float64_view(self):
+        rng = np.random.default_rng(1)
+        f = rng.random((600, 128)).astype(np.float64)
+        self._roundtrip(f.view(np.uint64))
+
+    def test_randint_int32_and_int64_views(self):
+        rng = np.random.default_rng(2)
+        d = rng.integers(0, 2**31, (100, 100), dtype=np.int64).astype(np.int32)
+        self._roundtrip(d.view(np.uint32))
+        d64 = np.ascontiguousarray(d).view(np.int64)  # pairs of int32 words
+        self._roundtrip(d64.view(np.uint64))
+
+    def test_semidense_int32(self):
+        rng = np.random.default_rng(3)
+        d = rng.integers(0, 2**31 // 100, (6, 100), dtype=np.int64).astype(np.int32)
+        self._roundtrip(d.view(np.uint32))
+        # the canonical IBP win: shared high-zero prefix compresses
+        mask, bitval, _, _ = nr.preprocess(d.view(np.uint32))
+        _, _, sizes = nr.encode_matrix(d.view(np.uint32), mask, bitval)
+        assert sizes.sum() < d.nbytes
