@@ -212,6 +212,20 @@ def q_lineitem_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(li, ["l_partkey", "l_suppkey", "l_orderkey"])
 
 
+def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head: top-20 token ids by frequency — the classic
+    explode + partial/final count shuffle every corpus pipeline runs."""
+    from pyspark.sql import Window
+
+    t = _tokens(spark, sf_dir)
+    counts = (t.select(F.explode("tokens").alias("tok"))
+              .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 20)
+            .select(F.col("rank").cast("int").alias("rank"), "tok", "cnt"))
+
+
 def q_codec_sizes_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted bytes of EVERY codec per source (Table-4 analog:
     IBP invariance savings vs bitpack baselines, reference
@@ -341,6 +355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_per_source": q_token_stats_per_source,
         "bitwidth_histogram": q_bitwidth_histogram,
         "codec_sizes_by_source": q_codec_sizes_by_source,
+        "token_topk": q_token_topk,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -451,6 +466,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(bit_width AS INT) AS bit_width,
                    COUNT(*) AS docs
             FROM w GROUP BY source, bit_width
+        """,
+        "token_topk": f"""
+            WITH t AS (SELECT {_TOK} AS toks FROM documents),
+            c AS (SELECT CAST(tok AS INT) AS tok, COUNT(*) AS cnt
+                  FROM (SELECT UNNEST(toks) AS tok FROM t) GROUP BY tok),
+            r AS (SELECT tok, cnt,
+                         ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+                  FROM c)
+            SELECT CAST(rank AS INT) AS rank, tok, cnt FROM r WHERE rank <= 20
         """,
         "dedup_exact": """
             SELECT md5(text) AS h,

@@ -112,8 +112,10 @@ class CompressionPipeline:
             max_waves: int | None = None) -> PipelineResult:
         nb = self.num_buckets
         params = self.load_or_learn_params(toks, snapshot_id)
-        salted = toks.withColumn(
-            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+        salted = (toks
+                  .withColumn("bucket",
+                              F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+                  .withColumn("snapshot_id", F.lit(snapshot_id)))
 
         done = self.committed_buckets(snapshot_id)
         pending = [b for b in range(nb) if b not in done]
@@ -129,12 +131,13 @@ class CompressionPipeline:
             part = (salted.filter(F.col("bucket").isin(wave))
                     .repartition(len(wave), "bucket"))
             enc = selector.encode_auto(part, params, allowed=self.allowed,
-                                       passthrough=("bucket",))
-            (enc.write.mode("append").partitionBy("bucket")
+                                       passthrough=("bucket", "snapshot_id"))
+            (enc.write.mode("append").partitionBy("snapshot_id", "bucket")
              .parquet(self.data_dir))
             # wave statistics from what was just written (source of truth)
             written = (self.spark.read.parquet(self.data_dir)
-                       .filter(F.col("bucket").isin(wave)))
+                       .filter((F.col("bucket").isin(wave))
+                               & (F.col("snapshot_id") == snapshot_id)))
             stats = (written.groupBy("bucket").agg(
                 F.count(F.lit(1)).alias("docs"),
                 F.sum("n_tok").alias("tokens"),
@@ -178,13 +181,18 @@ class CompressionPipeline:
                               totals["raw_bytes"], totals["comp_bytes"])
 
     def read_encoded(self, snapshot_id: str | None = None) -> DataFrame:
-        return self.spark.read.parquet(self.data_dir)
+        """Encoded table; partition pruning on (snapshot_id, bucket)
+        dirs makes per-snapshot reads touch only their own files."""
+        df = self.spark.read.parquet(self.data_dir)
+        if snapshot_id is not None:
+            df = df.filter(F.col("snapshot_id") == snapshot_id)
+        return df
 
-    def verify_roundtrip(self, toks: DataFrame,
-                         params: IbpParams) -> int:
+    def verify_roundtrip(self, toks: DataFrame, params: IbpParams,
+                         snapshot_id: str | None = None) -> int:
         """Full decode of the written table vs the source; returns the
         mismatch count (0 == bit-identical corpus)."""
-        dec = selector.decode_auto(self.read_encoded(), params)
+        dec = selector.decode_auto(self.read_encoded(snapshot_id), params)
         return (toks.alias("a").join(dec.alias("b"), "doc_id")
                 .filter((F.col("a.tokens") != F.col("b.tokens"))
                         | (F.col("a.n_tok") != F.col("b.n_tok")))

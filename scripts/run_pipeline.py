@@ -72,7 +72,7 @@ def main() -> None:
     }
     if args.verify:
         params = pipe.load_or_learn_params(toks, args.snapshot)
-        out["roundtrip_mismatches"] = pipe.verify_roundtrip(toks, params)
+        out["roundtrip_mismatches"] = pipe.verify_roundtrip(toks, params, args.snapshot)
     print(json.dumps(out))
     spark.stop()
 

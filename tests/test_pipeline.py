@@ -59,3 +59,17 @@ def test_params_persisted_across_resume(spark, tokens_df, outdir):
     p2 = pipe.load_or_learn_params(tokens_df, "snapC")
     assert (p1.mask == p2.mask).all() and (p1.bitval == p2.bitval).all()
     assert p1.threshold == p2.threshold
+
+
+def test_two_snapshots_coexist(spark, tokens_df, outdir):
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(150)
+    pipe.run(sub, "v1")
+    pipe.run(sub, "v2")
+    n = sub.count()
+    assert pipe.read_encoded("v1").count() == n
+    assert pipe.read_encoded("v2").count() == n
+    assert pipe.read_encoded().count() == 2 * n
+    p1 = pipe.load_or_learn_params(sub, "v1")
+    assert pipe.verify_roundtrip(sub, p1, "v1") == 0
