@@ -212,6 +212,17 @@ def q_lineitem_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(li, ["l_partkey", "l_suppkey", "l_orderkey"])
 
 
+def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event statistics (batch twin of the watermarked
+    streaming aggregation in streaming/windowed_stats.py — Spark gives
+    both the same logical plan)."""
+    from invariantbitpacking_spark.streaming.windowed_stats import (
+        windowed_stats_batch)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_stats_batch(ev, "1 hour")
+
+
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary head: top-20 token ids by frequency — the classic
     explode + partial/final count shuffle every corpus pipeline runs."""
@@ -356,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwidth_histogram": q_bitwidth_histogram,
         "codec_sizes_by_source": q_codec_sizes_by_source,
         "token_topk": q_token_topk,
+        "event_window_stats": q_event_window_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
@@ -466,6 +478,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(bit_width AS INT) AS bit_width,
                    COUNT(*) AS docs
             FROM w GROUP BY source, bit_width
+        """,
+        "event_window_stats": """
+            SELECT date_trunc('hour', ts) AS win_start,
+                   event_type,
+                   COUNT(*) AS events,
+                   ROUND(SUM(value), 6) AS value_sum
+            FROM events GROUP BY 1, 2
         """,
         "token_topk": f"""
             WITH t AS (SELECT {_TOK} AS toks FROM documents),
