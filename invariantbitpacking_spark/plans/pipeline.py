@@ -106,15 +106,33 @@ class CompressionPipeline:
         os.replace(tmp, path)
         return params
 
+    # -- staging -------------------------------------------------------------
+
+    def stage_input(self, toks: DataFrame, snapshot_id: str) -> str:
+        """One salting pass: the input is scanned ONCE, shuffled on the
+        bucket salt, and written partitioned by bucket.  Every wave then
+        reads only its own bucket directories (partition pruning) —
+        without this, each wave would rescan the whole 100 TB input
+        because ``bucket`` is computed, not a prunable column.
+        Idempotent per snapshot (_SUCCESS marker)."""
+        staging = os.path.join(self.output_dir, "staging", snapshot_id)
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            return staging
+        nb = self.num_buckets
+        salted = toks.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+        (salted.repartition(nb, "bucket")
+         .write.mode("overwrite").partitionBy("bucket").parquet(staging))
+        return staging
+
     # -- main --------------------------------------------------------------
 
     def run(self, toks: DataFrame, snapshot_id: str,
             max_waves: int | None = None) -> PipelineResult:
         nb = self.num_buckets
         params = self.load_or_learn_params(toks, snapshot_id)
-        salted = (toks
-                  .withColumn("bucket",
-                              F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+        staging = self.stage_input(toks, snapshot_id)
+        staged = (self.spark.read.parquet(staging)
                   .withColumn("snapshot_id", F.lit(snapshot_id)))
 
         done = self.committed_buckets(snapshot_id)
@@ -128,8 +146,7 @@ class CompressionPipeline:
         buckets_run = sum(len(w) for w in waves)
         for wave in waves:
             t0 = time.perf_counter()
-            part = (salted.filter(F.col("bucket").isin(wave))
-                    .repartition(len(wave), "bucket"))
+            part = staged.filter(F.col("bucket").isin(wave))  # dir-pruned
             enc = selector.encode_auto(part, params, allowed=self.allowed,
                                        passthrough=("bucket", "snapshot_id"))
             (enc.write.mode("append").partitionBy("snapshot_id", "bucket")
