@@ -197,6 +197,16 @@ class CompressionPipeline:
                               totals["docs"], totals["tokens"],
                               totals["raw_bytes"], totals["comp_bytes"])
 
+    def cleanup_staging(self, snapshot_id: str) -> None:
+        """Drop the staged (uncompressed) copy once every bucket of the
+        snapshot is committed — it exists only to make waves prunable."""
+        import shutil
+
+        done = self.committed_buckets(snapshot_id)
+        if len(done) >= self.num_buckets:
+            shutil.rmtree(os.path.join(self.output_dir, "staging",
+                                       snapshot_id), ignore_errors=True)
+
     def read_encoded(self, snapshot_id: str | None = None) -> DataFrame:
         """Encoded table; partition pruning on (snapshot_id, bucket)
         dirs makes per-snapshot reads touch only their own files."""
