@@ -41,6 +41,8 @@ def main() -> None:
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--verify", action="store_true",
                     help="decode everything afterwards and check identity")
+    ap.add_argument("--cleanup-staging", action="store_true",
+                    help="drop the staged input copy once all buckets commit")
     args = ap.parse_args()
 
     from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
@@ -73,6 +75,8 @@ def main() -> None:
     if args.verify:
         params = pipe.load_or_learn_params(toks, args.snapshot)
         out["roundtrip_mismatches"] = pipe.verify_roundtrip(toks, params, args.snapshot)
+    if args.cleanup_staging:
+        pipe.cleanup_staging(args.snapshot)
     print(json.dumps(out))
     spark.stop()
 

@@ -73,3 +73,19 @@ def test_two_snapshots_coexist(spark, tokens_df, outdir):
     assert pipe.read_encoded().count() == 2 * n
     p1 = pipe.load_or_learn_params(sub, "v1")
     assert pipe.verify_roundtrip(sub, p1, "v1") == 0
+
+
+def test_cleanup_staging(spark, tokens_df, outdir):
+    import os
+
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(60)
+    pipe.run(sub, "c1")
+    staging = os.path.join(outdir, "staging", "c1")
+    assert os.path.exists(staging)
+    pipe.cleanup_staging("c1")
+    assert not os.path.exists(staging)
+    # encoded data and round-trip unaffected by dropping the staged copy
+    p = pipe.load_or_learn_params(sub, "c1")
+    assert pipe.verify_roundtrip(sub, p, "c1") == 0
