@@ -36,6 +36,21 @@ def _params(spark: SparkSession, sf_dir: str):
     return _PARAMS_CACHE[sf_dir]
 
 
+_KPARAMS_CACHE: dict = {}
+
+
+def _kparams(spark: SparkSession, sf_dir: str):
+    """Clustered codec parameters (preprocess_kmeans analog).  vec_size
+    is 32 because the documents corpus tops out at 99 tokens — at the
+    default 128 no document yields a single full block to cluster."""
+    from invariantbitpacking_spark.operators import kmeans
+
+    if sf_dir not in _KPARAMS_CACHE:
+        _KPARAMS_CACHE[sf_dir] = kmeans.learn_kmeans(
+            _tokens(spark, sf_dir), k=4, iters=10, vec_size=32)
+    return _KPARAMS_CACHE[sf_dir]
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -204,6 +219,51 @@ def q_condensed_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("comp_bytes").over(w).alias("end_offset"))
 
 
+def q_kmeans_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered-mask round-trip — the reference's second preprocessing
+    mode (preprocess_kmeans, src/preprocess.cu:88-139; Hamming assign
+    ibp_preproc_kmeans.cuh:106-150; majority centroids :219-236;
+    per-cluster masks :238-297): learn_kmeans -> encode_ibp_kmeans ->
+    decode_ibp_kmeans.  Oracle asserts ok_docs == docs per source, i.e.
+    bit-identical token arrays through the clustered codec."""
+    from invariantbitpacking_spark.operators import kmeans
+
+    toks = _tokens(spark, sf_dir)
+    kp = _kparams(spark, sf_dir)
+    dec = kmeans.decode_ibp_kmeans(kmeans.encode_ibp_kmeans(toks, kp), kp)
+    joined = (
+        toks.alias("a")
+        .join(dec.alias("b"), "doc_id")
+        .select(
+            F.col("a.source").alias("source"),
+            (F.col("a.tokens") == F.col("b.tokens")).cast("long").alias("ok"),
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ok").alias("ok_docs"),
+    )
+
+
+def q_kmeans_vs_global_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered vs single-global-mask compressed bytes per source at
+    the same vec_size (the reference's kmeans-vs-plain comparison,
+    tests/kmeans_test.py:43-74).  Rows-only check: byte sizes are
+    codec-internal (pytest-exact); docs/raw_bytes anchor the shape."""
+    from invariantbitpacking_spark.operators import ibp, kmeans
+
+    toks = _tokens(spark, sf_dir)
+    kp = _kparams(spark, sf_dir)
+    gp = ibp.learn_params(toks, vec_size=kp.vec_size)
+    km = (kmeans.encode_ibp_kmeans(toks, kp).groupBy("source")
+          .agg(F.count(F.lit(1)).alias("docs"),
+               F.sum("raw_bytes").alias("raw_bytes"),
+               F.sum("comp_bytes").alias("kmeans_bytes")))
+    gl = (ibp.encode_ibp(toks, gp).groupBy("source")
+          .agg(F.sum("comp_bytes").alias("global_bytes")))
+    return km.join(gl, "source").orderBy("source")
+
+
 def q_lineitem_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selector input statistics: min/max/NDV/count per column."""
     from invariantbitpacking_spark.functions.stats import column_stats
@@ -362,6 +422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ibp_ratio_by_source": q_ibp_ratio_by_source,
         "gather_decode": q_gather_decode,
         "condensed_offsets": q_condensed_offsets,
+        "kmeans_roundtrip_by_source": q_kmeans_roundtrip_by_source,
+        "kmeans_vs_global_ratio": q_kmeans_vs_global_ratio,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
         "bitwidth_histogram": q_bitwidth_histogram,
@@ -414,6 +476,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "auto_roundtrip_by_source": """
+            SELECT source,
+                   COUNT(*) AS docs,
+                   COUNT(*) AS ok_docs
+            FROM documents GROUP BY source
+        """,
+        "kmeans_roundtrip_by_source": """
             SELECT source,
                    COUNT(*) AS docs,
                    COUNT(*) AS ok_docs

@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import numpy_ref as nr
 from ..codecs.numpy_ref import popcount32
-from .framing import FramedBatch, VEC_SIZE, frame_batch, gather_ranges, unframe_batch
+from .framing import (FramedBatch, VEC_SIZE, frame_batch, gather_ranges,
+                      split_by_token_mass, unframe_batch)
 from .ibp import IbpParams
 
 
@@ -93,12 +94,26 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
                  seed: int = 42) -> KmeansParams:
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
-    toks = df.select(tokens_col)
+    # The Lloyd loop makes iters+2 distributed passes; persist the
+    # (possibly sampled) projection ONCE so iterations scan cached
+    # blocks, not the source table 12 times (the reference iterates over
+    # GPU-resident data, ibp_preproc_host.cuh:191-193 — this is the
+    # Spark analog of that residency).
+    toks = df.select(tokens_col).persist()
 
     # ---- init: k blocks from a tiny driver-side sample ------------------
-    sample_rows = toks.limit(max(4 * k, 64)).toPandas()
+    # Spark's bare limit() is partition-order dependent; order by doc_id
+    # when available so the seeded choice is stable across partition
+    # layouts (the reference's std::random_shuffle is seeded by srand in
+    # the same spirit, ibp_preproc_host.cuh:176-188).
+    if "doc_id" in df.columns:
+        sample_rows = (df.select("doc_id", tokens_col)
+                       .orderBy("doc_id").limit(max(4 * k, 64)).toPandas())
+    else:
+        sample_rows = toks.limit(max(4 * k, 64)).toPandas()
     fb0 = frame_batch(sample_rows[tokens_col].values, vec_size)
     if fb0.full_mat.shape[0] < k:
+        toks.unpersist()
         raise ValueError(f"need >= {k} full blocks to seed {k} centroids")
     rng = np.random.default_rng(seed)
     centroids = fb0.full_mat[
@@ -109,7 +124,8 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
         cent = centroids  # closure capture per iteration
 
         def it(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
+            for pdf0 in batches:
+              for pdf in split_by_token_mass(pdf0, tokens_col):
                 fb = frame_batch(pdf[tokens_col].values, vec_size)
                 if fb.full_mat.shape[0] == 0:
                     continue
@@ -151,7 +167,8 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
 
     # ---- final per-cluster (mask, bitval): global-threshold sweep -------
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, tokens_col):
             fb = frame_batch(pdf[tokens_col].values, vec_size)
             if fb.full_mat.shape[0] == 0:
                 continue
@@ -196,7 +213,8 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
 
     # one distributed pass evaluates savings for every theta
     def evaluator(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, tokens_col):
             fb = frame_batch(pdf[tokens_col].values, vec_size)
             if fb.full_mat.shape[0] == 0:
                 continue
@@ -217,6 +235,7 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
 
     ev = (toks.mapInPandas(evaluator, schema="ti int, saved long")
           .groupBy("ti").agg(F.sum("saved").alias("saved")).collect())
+    toks.unpersist()
     saved_by_t = np.zeros(len(grid), np.int64)
     for r in ev:
         saved_by_t[r["ti"]] = r["saved"]
@@ -252,7 +271,8 @@ def encode_ibp_kmeans(df: DataFrame, kp: KmeansParams,
     cents, masks, bitvals = kp.centroids, kp.masks, kp.bitvals
 
     def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, tokens_col):
             fb = frame_batch(pdf[tokens_col].values, v)
             ndocs = len(fb.lens)
             nb_tot = int(fb.nblocks.sum())
@@ -325,7 +345,8 @@ def decode_ibp_kmeans(df: DataFrame, kp: KmeansParams) -> DataFrame:
     masks, bitvals = kp.masks, kp.bitvals
 
     def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        for pdf0 in batches:
+          for pdf in split_by_token_mass(pdf0, "n_tok"):
             ndocs = len(pdf)
             lens = pdf["n_tok"].values.astype(np.int64)
             nfull = lens // v
