@@ -336,6 +336,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs with exact-jaccard verification; the
+    oracle recomputes the full >=0.5 pair set via an inverted shingle
+    index in DuckDB — at 8 bands x 2 rows the miss probability for the
+    corpus's j>=0.9 pairs is ~(1-0.81)^8, so LSH output == ground
+    truth deterministically (xxhash64 is seed-stable)."""
     from invariantbitpacking_spark.functions.dataops import minhash_lsh_pairs
 
     p = minhash_lsh_pairs(_docs(spark, sf_dir))
@@ -562,6 +567,38 @@ def oracle_sql() -> dict[str, str]:
                          ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
                   FROM c)
             SELECT CAST(rank AS INT) AS rank, tok, cnt FROM r WHERE rank <= 20
+        """,
+        "minhash_lsh_pairs": """
+            WITH t AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     list_distinct(list_transform(
+                        range(1, len(string_split(text,' ')) - 1),
+                        i -> concat_ws(' ',
+                               string_split(text,' ')[CAST(i AS INT)],
+                               string_split(text,' ')[CAST(i AS INT)+1],
+                               string_split(text,' ')[CAST(i AS INT)+2])
+                     )) AS sh
+              FROM documents
+              WHERE len(string_split(text,' ')) >= 3
+            ),
+            inv AS (SELECT doc_id, UNNEST(sh) AS s FROM t),
+            cand AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     COUNT(*) AS inter
+              FROM inv a JOIN inv b
+                ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            j AS (
+              SELECT c.doc_a, c.doc_b,
+                     c.inter * 1.0
+                       / (len(ta.sh) + len(tb.sh) - c.inter) AS jac
+              FROM cand c
+              JOIN t ta ON ta.doc_id = c.doc_a
+              JOIN t tb ON tb.doc_id = c.doc_b
+            )
+            SELECT doc_a, doc_b, ROUND(jac, 6) AS jaccard
+            FROM j WHERE jac >= 0.5
         """,
         "dedup_exact": """
             SELECT md5(text) AS h,

@@ -65,15 +65,23 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
 
 
 def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
-                      bands: int = 4, shingle_n: int = 3,
-                      jaccard_threshold: float = 0.5) -> DataFrame:
+                      bands: int = 8, shingle_n: int = 3,
+                      jaccard_threshold: float = 0.5,
+                      bucket_cap: int = 64) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, verified with the exact
     shingle Jaccard.  Banding: signatures split into ``bands`` groups;
     a pair is a candidate when any band hash collides (equi-join on
-    (band, hash) — shuffle-friendly, no O(n^2)); candidates are then
-    verified with array_intersect/array_union on the shingle sets."""
+    (band, hash) — shuffle-friendly, no O(n^2) scan).
+
+    Skew guard: a bucket with more than ``bucket_cap`` members (the
+    boilerplate/exact-duplicate case — k identical documents collide in
+    every band, k^2/2 pairs in one task) switches from all-pairs to
+    star linking against the bucket's min doc_id: k-1 candidate pairs,
+    same connected components for dedup, bounded task size.  Candidates
+    are then verified with array_intersect on the exact shingle sets,
+    so emitted jaccard values are exact either way."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, shingle_n).cache()
+    sig = minhash_signatures(docs, num_hashes, shingle_n)
     band_cols = [
         F.struct(F.lit(b).alias("band"),
                  F.xxhash64(*[F.col(f"mh{b * rows_per_band + r}")
@@ -82,19 +90,30 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
     ]
     buckets = (sig.select("doc_id", F.explode(F.array(*band_cols)).alias("k"))
                .select("doc_id", "k.band", "k.bh"))
-    cand = (buckets.alias("a")
-            .join(buckets.alias("b"),
-                  (F.col("a.band") == F.col("b.band"))
-                  & (F.col("a.bh") == F.col("b.bh"))
-                  & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    sizes = buckets.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("bn"), F.min("doc_id").alias("hub"))
+    b2 = buckets.join(sizes, ["band", "bh"])
+    small = b2.filter(F.col("bn") <= bucket_cap)
+    pairs_small = (small.alias("a")
+                   .join(small.alias("b"),
+                         (F.col("a.band") == F.col("b.band"))
+                         & (F.col("a.bh") == F.col("b.bh"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   .select(F.col("a.doc_id").alias("doc_a"),
+                           F.col("b.doc_id").alias("doc_b")))
+    pairs_big = (b2.filter((F.col("bn") > bucket_cap)
+                           & (F.col("doc_id") != F.col("hub")))
+                 .select(F.col("hub").alias("doc_a"),
+                         F.col("doc_id").alias("doc_b")))
+    cand = pairs_small.union(pairs_big).distinct()
+    # exact verification reads a lean (doc_id, shingles) projection —
+    # recomputed from source with pushdown, nothing cached to leak
+    sh = sig.select("doc_id", "shingles")
     withsets = (cand
-                .join(sig.select(F.col("doc_id").alias("doc_a"),
-                                 F.col("shingles").alias("sh_a")), "doc_a")
-                .join(sig.select(F.col("doc_id").alias("doc_b"),
-                                 F.col("shingles").alias("sh_b")), "doc_b"))
+                .join(sh.select(F.col("doc_id").alias("doc_a"),
+                                F.col("shingles").alias("sh_a")), "doc_a")
+                .join(sh.select(F.col("doc_id").alias("doc_b"),
+                                F.col("shingles").alias("sh_b")), "doc_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (withsets
@@ -103,36 +122,80 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
             .filter(F.col("jaccard") >= jaccard_threshold))
 
 
+FNV_BASIS = np.uint64(0xCBF29CE484222325)
+FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def fnv1a64_words(words: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a 64-bit over an array of strings: the words are
+    laid out as one padded byte matrix and hashed with a column sweep —
+    the only loop is over the max word length (a small constant), never
+    over words or documents.  Bit-identical to the scalar
+    ``h = (h ^ byte) * prime mod 2^64`` chain over UTF-8 bytes."""
+    w = len(words)
+    if w == 0:
+        return np.zeros(0, np.uint64)
+    enc = np.char.encode(words.astype(str), "utf-8")  # S-dtype, padded
+    maxlen = enc.dtype.itemsize
+    h = np.full(w, FNV_BASIS, np.uint64)
+    if maxlen == 0:
+        return h
+    mat = enc.view(np.uint8).reshape(w, maxlen)
+    byte_lens = np.char.str_len(enc)
+    for j in range(maxlen):
+        act = byte_lens > j
+        if not act.any():
+            break
+        h[act] = (h[act] ^ mat[act, j].astype(np.uint64)) * FNV_PRIME
+    return h
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per document (word-level), via one Arrow-batched
-    Pandas UDF (the per-bit vote has no efficient Catalyst form)."""
+    Pandas UDF.  Word splitting runs JVM-side (``F.split``); inside the
+    UDF, unique words are FNV-1a-hashed once (:func:`fnv1a64_words`) and
+    the per-bit majority vote is 64 whole-batch bincounts — no
+    per-document, per-word, or per-character Python."""
 
     def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = np.zeros(len(pdf), np.int64)
-            for i, text in enumerate(pdf["text"].values):
-                words = text.split(" ") if text else []
-                if not words:
-                    continue
-                hs = np.array([hash_word(w) for w in words], np.uint64)
-                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1)).astype(np.int64)
-                vote = bits.sum(axis=0) * 2 - len(words)
-                out[i] = int(((vote > 0).astype(np.uint64)
-                              << np.arange(64, dtype=np.uint64)).sum()
-                             .astype(np.int64))
+        for pdf0 in batches:
+          # bound the words x 64-bit vote working set per sub-batch
+          from ..operators.framing import split_by_token_mass
+          for pdf in split_by_token_mass(pdf0, "words", 2_000_000):
+            ndocs = len(pdf)
+            arrs = pdf["words"].values
+            lens = np.fromiter((len(a) for a in arrs), np.int64, count=ndocs)
+            total = int(lens.sum())
+            out = np.zeros(ndocs, np.uint64)
+            if total:
+                flat = np.concatenate([np.asarray(a, object) for a in arrs])
+                codes, uniq = pd.factorize(flat)
+                hw = fnv1a64_words(np.asarray(uniq, object))[codes]
+                doc_of = np.repeat(np.arange(ndocs), lens)
+                # per-bit majority vote, one byte group at a time: count
+                # (doc, byte-value) pairs with a bincount, fold through a
+                # 256x8 bit table — 8 O(words) passes instead of 64
+                bt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                                   axis=1, bitorder="little").astype(np.int64)
+                hb = hw.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8)
+                base = doc_of << np.int64(8)
+                for g in range(8):
+                    key = base | hb[:, g]
+                    cnt = np.bincount(
+                        key, minlength=ndocs * 256).reshape(ndocs, 256)
+                    ones = cnt @ bt  # [ndocs, 8] per-bit set counts
+                    vote = 2 * ones > lens[:, None]  # majority
+                    shifts = (np.arange(8, dtype=np.uint64)
+                              + np.uint64(8 * g))
+                    out |= (vote.astype(np.uint64) << shifts[None, :]
+                            ).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame({"doc_id": pdf["doc_id"].astype(str),
-                                "simhash": out})
+                                "simhash": out.view(np.int64)})
 
-    def hash_word(w: str) -> np.uint64:
-        # FNV-1a 64-bit: deterministic across processes (unlike hash())
-        h = np.uint64(0xCBF29CE484222325)
-        for ch in w.encode("utf-8"):
-            h = np.uint64((int(h) ^ ch) * 0x100000001B3 % 2**64)
-        return h
-
+    words = F.when(F.length("text") > 0, F.split("text", " ")
+                   ).otherwise(F.array().cast("array<string>"))
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       "text").mapInPandas(
+                       words.alias("words")).mapInPandas(
         sim, schema="doc_id string, simhash long")
 
 

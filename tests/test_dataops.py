@@ -53,6 +53,66 @@ def test_minhash_lsh_finds_near_duplicates(spark, planted_docs):
         assert canon(a) == canon(b), (a, b)
 
 
+def test_minhash_bucket_cap_star_links(spark):
+    """A planted 300-duplicate cluster collides in every band; all-pairs
+    would be 44850 candidates in ONE bucket task.  The cap must switch
+    to star linking: 299 pairs hubbed on the min doc_id, jaccard 1.0,
+    same connected component for dedup."""
+    text = " ".join(f"t{i}" for i in range(40))
+    rows = [(f"dup-{i:04d}", text) for i in range(300)]
+    rows.append(("solo-1", " ".join(f"u{i}" for i in range(40))))
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dataops.minhash_lsh_pairs(df, bucket_cap=64).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert len(got) == 299
+    assert all(a == "dup-0000" for a, _ in got)
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
+def _fnv1a64_scalar(w: str) -> int:
+    """Reference scalar FNV-1a (the round-1 per-character loop) —
+    regression pin for the vectorized fnv1a64_words."""
+    h = 0xCBF29CE484222325
+    for ch in w.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) % 2**64
+    return h
+
+
+def test_fnv1a64_vectorized_matches_scalar():
+    words = np.array(["", "a", "the", "CHANGED", "naïve", "日本語",
+                      "x" * 40, "w007", "mixed½chars", " "], object)
+    got = dataops.fnv1a64_words(words)
+    expect = np.array([_fnv1a64_scalar(w) for w in words], np.uint64)
+    assert (got == expect).all(), list(zip(words, got, expect))
+
+
+def test_simhash_matches_scalar_reference(spark):
+    """End-to-end pin: the vectorized UDF must reproduce the scalar
+    per-document simhash (duplicate words counted, empty text -> 0)."""
+    rows = [("d0", "the the quick brown fox"),
+            ("d1", ""),  # empty -> simhash 0
+            ("d2", "a  b"),  # double space -> empty word hashed too
+            ("d3", "naïve 日本語 mixed½chars"),
+            ("d4", "solo")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["simhash"]
+           for r in dataops.simhash64(df).collect()}
+
+    for doc_id, text in rows:
+        words = text.split(" ") if text else []
+        if not words:
+            expect = 0
+        else:
+            hs = np.array([_fnv1a64_scalar(w) for w in words], np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int64)
+            vote = bits.sum(axis=0) * 2 - len(words)
+            expect = int(((vote > 0).astype(np.uint64)
+                          << np.arange(64, dtype=np.uint64)).sum()
+                         .astype(np.int64))
+        assert got[doc_id] == expect, (doc_id, got[doc_id], expect)
+
+
 def test_simhash_distance_separates(spark, planted_docs):
     sh = {r["doc_id"]: r["simhash"] for r in
           dataops.simhash64(planted_docs).collect()}
