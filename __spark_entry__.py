@@ -125,8 +125,11 @@ def q_ibp_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ibp_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Compression accounting per source (rows-only check: byte sizes
-    are codec-internal, verified exactly by the pytest suite)."""
+    """Compression accounting per source.  docs and raw_bytes
+    (= 4 * token count) are DuckDB-exact; the never-expand clamp
+    (comp_size = min(..., vec_bytes), reference ibp_misc_dev.cuh:86-87)
+    makes no_expand_docs == docs an oracle-checkable invariant of the
+    encoded bytes, while absolute comp_bytes stays pytest-gated."""
     from invariantbitpacking_spark.operators import ibp
 
     toks = _tokens(spark, sf_dir)
@@ -137,10 +140,29 @@ def q_ibp_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("docs"),
             F.sum("raw_bytes").alias("raw_bytes"),
-            F.sum("comp_bytes").alias("comp_bytes"),
+            F.sum((F.col("comp_bytes") <= F.col("raw_bytes"))
+                  .cast("long")).alias("no_expand_docs"),
         )
         .orderBy("source")
     )
+
+
+def q_codec_choice_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-selector restricted to the closed-form codecs (raw, dict,
+    RLE, delta-FOR, FOR): the DuckDB oracle recomputes every candidate
+    size from the north-rule statistics (value range, delta range, run
+    count, cardinality) and replays the argmin with the CODEC_ORDER
+    tie-break — so per-(source, codec) doc counts AND actual encoded
+    byte totals are verified exactly against SQL."""
+    from invariantbitpacking_spark.operators import selector
+
+    toks = _tokens(spark, sf_dir)
+    params = _params(spark, sf_dir)
+    enc = selector.encode_auto(
+        toks, params, allowed=("raw", "dict", "rle", "dfor", "for"))
+    return (enc.groupBy("source", "codec")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("comp_bytes").alias("total_bytes")))
 
 
 def q_auto_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -203,20 +225,49 @@ def q_gather_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_condensed_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Condensed-layout byte offsets: the reference packs blobs
     back-to-back at offsets from an inclusive scan of sizes
-    (thrust::inclusive_scan, src/compress.cu:284-285); the Spark analog
-    is a window cumulative sum ordered by doc_id (rows-only check:
-    sizes depend on the learned mask; exactness is pytest-gated)."""
-    from pyspark.sql import Window
+    (thrust::inclusive_scan, src/compress.cu:284-285).  Scale-safe
+    two-phase scan instead of a global unpartitioned window (which
+    funnels every row through ONE task): range-partition by doc_id,
+    collect one byte-total row per partition, turn those into broadcast
+    base offsets, then cumsum locally inside each partition — every
+    stage stays parallel.  (Rows-only check: sizes depend on the
+    learned mask; byte exactness is pytest-gated.)"""
+    import pandas as pd
 
     from invariantbitpacking_spark.operators import ibp
 
     toks = _tokens(spark, sf_dir)
     params = _params(spark, sf_dir)
     enc = ibp.encode_ibp(toks, params)
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    return enc.select(
-        "doc_id", "comp_bytes",
-        F.sum("comp_bytes").over(w).alias("end_offset"))
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    sized = (enc.select("doc_id", "comp_bytes")
+             .repartitionByRange(nparts, "doc_id")
+             .sortWithinPartitions("doc_id")
+             .withColumn("pid", F.spark_partition_id())
+             .persist())
+    totals = {r["pid"]: r["t"] for r in
+              sized.groupBy("pid").agg(F.sum("comp_bytes").alias("t"))
+              .collect()}
+    bases, acc = {}, 0
+    for p in range(nparts):
+        bases[p] = acc
+        acc += int(totals.get(p, 0))
+
+    def scan(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = bases.get(int(pdf["pid"].iloc[0]), 0)
+            ends = run + pdf["comp_bytes"].cumsum()
+            run = int(ends.iloc[-1])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "comp_bytes": pdf["comp_bytes"],
+                                "end_offset": ends.astype("int64")})
+
+    return sized.mapInPandas(
+        scan, schema="doc_id string, comp_bytes long, end_offset long")
 
 
 def q_kmeans_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -285,15 +336,19 @@ def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary head: top-20 token ids by frequency — the classic
-    explode + partial/final count shuffle every corpus pipeline runs."""
+    explode + partial/final count shuffle every corpus pipeline runs.
+    orderBy().limit() compiles to TakeOrderedAndProject (map-side
+    top-k, each task keeps 20 rows); ranks are assigned afterwards on
+    the 20 surviving rows, so no global window ever sees the full
+    vocabulary."""
     from pyspark.sql import Window
 
     t = _tokens(spark, sf_dir)
     counts = (t.select(F.explode("tokens").alias("tok"))
               .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
-    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 20)
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(20)
+    w = Window.orderBy(F.desc("cnt"), F.asc("tok"))  # 20 rows only
+    return (top.withColumn("rank", F.row_number().over(w))
             .select(F.col("rank").cast("int").alias("rank"), "tok", "cnt"))
 
 
@@ -425,6 +480,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "auto_roundtrip_by_source": q_auto_roundtrip_by_source,
         "codec_mix": q_codec_mix,
         "ibp_ratio_by_source": q_ibp_ratio_by_source,
+        "codec_choice_by_source": q_codec_choice_by_source,
         "gather_decode": q_gather_decode,
         "condensed_offsets": q_condensed_offsets,
         "kmeans_roundtrip_by_source": q_kmeans_roundtrip_by_source,
@@ -491,6 +547,65 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS docs,
                    COUNT(*) AS ok_docs
             FROM documents GROUP BY source
+        """,
+        "ibp_ratio_by_source": f"""
+            SELECT source,
+                   COUNT(*) AS docs,
+                   CAST(SUM(4 * len({_TOK})) AS BIGINT) AS raw_bytes,
+                   COUNT(*) AS no_expand_docs
+            FROM documents GROUP BY source
+        """,
+        "codec_choice_by_source": f"""
+            WITH t AS (SELECT {_TOK} AS toks, source FROM documents),
+            m AS (
+              SELECT source, len(toks) AS n,
+                     CAST(ceil(len(toks) / 8.0) AS BIGINT) AS nch,
+                     list_max(toks) - list_min(toks) AS rng,
+                     len(list_distinct(toks)) AS card,
+                     GREATEST(toks[1], coalesce(list_max(list_transform(
+                        range(2, len(toks) + 1),
+                        i -> toks[CAST(i AS INT)] - toks[CAST(i AS INT) - 1]
+                     )), toks[1]))
+                     - LEAST(toks[1], coalesce(list_min(list_transform(
+                        range(2, len(toks) + 1),
+                        i -> toks[CAST(i AS INT)] - toks[CAST(i AS INT) - 1]
+                     )), toks[1])) AS drng,
+                     1 + len(list_filter(range(2, len(toks) + 1),
+                        i -> toks[CAST(i AS INT)] != toks[CAST(i AS INT) - 1]
+                     )) AS runs
+              FROM t
+            ),
+            s AS (
+              SELECT source,
+                     4 * n AS sz_raw,
+                     5 + nch * (CASE WHEN rng = 0 THEN 0
+                           ELSE length(bin(CAST(rng AS BIGINT))) END) AS sz_for,
+                     9 + nch * LEAST(CASE WHEN drng = 0 THEN 0
+                           ELSE length(bin(CAST(drng AS BIGINT))) END, 32)
+                       AS sz_dfor,
+                     4 + 8 * runs AS sz_rle,
+                     4 + 4 * card + nch * (CASE WHEN card <= 1 THEN 0
+                           ELSE length(bin(CAST(card - 1 AS BIGINT))) END)
+                       AS sz_dict
+              FROM m
+            ),
+            c AS (
+              SELECT source,
+                     CASE
+                       WHEN sz_raw <= LEAST(sz_dict, sz_rle, sz_dfor, sz_for)
+                         THEN 'raw'
+                       WHEN sz_dict <= LEAST(sz_rle, sz_dfor, sz_for)
+                         THEN 'dict'
+                       WHEN sz_rle <= LEAST(sz_dfor, sz_for) THEN 'rle'
+                       WHEN sz_dfor <= sz_for THEN 'dfor'
+                       ELSE 'for'
+                     END AS codec,
+                     LEAST(sz_raw, sz_dict, sz_rle, sz_dfor, sz_for) AS bytes
+              FROM s
+            )
+            SELECT source, codec, COUNT(*) AS docs,
+                   CAST(SUM(bytes) AS BIGINT) AS total_bytes
+            FROM c GROUP BY source, codec
         """,
         "lineitem_colstats": """
             SELECT 'l_partkey' AS col_name, CAST(MIN(l_partkey) AS BIGINT) AS min_v,
