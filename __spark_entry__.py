@@ -270,6 +270,54 @@ def q_condensed_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         scan, schema="doc_id string, comp_bytes long, end_offset long")
 
 
+def _tokens64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int64 view of the tokens table: each int32 token widened to
+    ``(t << 20) + t`` so the high word is populated but keeps invariant
+    structure — the Spark twin of the reference's int64 reinterpret
+    views (DLRM embeddings features.view(torch.int64),
+    tests/nvcomp_comparison.py:39; dtype dispatch src/preprocess.cu:56-72)."""
+    t = _tokens(spark, sf_dir)
+    toks64 = F.transform(
+        "tokens", lambda x: x.cast("long") * F.lit(1048576) + x)
+    return t.select("doc_id", toks64.alias("tokens"), "n_tok", "source")
+
+
+def q_bitcount64_orderkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_bit_kernel over 8-byte elements (the reference's ull
+    template instantiation, src/preprocess.cu:56-72): 64 per-bit set
+    counts of lineitem.l_orderkey as array<bigint> input."""
+    from invariantbitpacking_spark.operators.ibp import bit_count_df
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    toks = li.select(F.array(F.col("l_orderkey").cast("long")).alias("tokens"))
+    return bit_count_df(toks, vec_size=1)
+
+
+def q_ibp64_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IBP over 64-bit elements end-to-end: learn_params /
+    encode_ibp / decode_ibp on an array<bigint> column (reference
+    compress dtype dispatch 4/8 bytes, src/compress.cu:192).  Oracle
+    asserts every document decodes bit-identical."""
+    from invariantbitpacking_spark.operators import ibp
+
+    toks = _tokens64(spark, sf_dir)
+    params = ibp.learn_params(toks)
+    assert params.item_bytes == 8
+    dec = ibp.decode_ibp(ibp.encode_ibp(toks, params), params)
+    joined = (
+        toks.alias("a")
+        .join(dec.alias("b"), "doc_id")
+        .select(
+            F.col("a.source").alias("source"),
+            (F.col("a.tokens") == F.col("b.tokens")).cast("long").alias("ok"),
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ok").alias("ok_docs"),
+    )
+
+
 def q_kmeans_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustered-mask round-trip — the reference's second preprocessing
     mode (preprocess_kmeans, src/preprocess.cu:88-139; Hamming assign
@@ -485,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensed_offsets": q_condensed_offsets,
         "kmeans_roundtrip_by_source": q_kmeans_roundtrip_by_source,
         "kmeans_vs_global_ratio": q_kmeans_vs_global_ratio,
+        "bitcount64_orderkey": q_bitcount64_orderkey,
+        "ibp64_roundtrip_by_source": q_ibp64_roundtrip_by_source,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
         "bitwidth_histogram": q_bitwidth_histogram,
@@ -547,6 +597,23 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS docs,
                    COUNT(*) AS ok_docs
             FROM documents GROUP BY source
+        """,
+        "ibp64_roundtrip_by_source": """
+            SELECT source,
+                   COUNT(*) AS docs,
+                   COUNT(*) AS ok_docs
+            FROM documents GROUP BY source
+        """,
+        "bitcount64_orderkey": """
+            SELECT CAST(bit AS INT) AS pos,
+                   CAST(SUM((CAST(l_orderkey AS BIGINT) >> bit) & 1)
+                        AS BIGINT) AS cnt
+            FROM lineitem, (SELECT UNNEST(range(64)) AS bit)
+            GROUP BY bit
+            UNION ALL
+            SELECT -1, COUNT(*) FROM lineitem
+            UNION ALL
+            SELECT 64, COUNT(*) FROM lineitem  -- column-0 coverage row
         """,
         "ibp_ratio_by_source": f"""
             SELECT source,

@@ -85,9 +85,17 @@ class FramedBatch:
     vec_size: int
 
 
-def frame_batch(token_arrays, vec_size: int = VEC_SIZE) -> FramedBatch:
+def frame_batch(token_arrays, vec_size: int = VEC_SIZE,
+                itemsize: int = 4) -> FramedBatch:
+    """``itemsize`` selects the element width: 4 (int32 tokens, the
+    primary path) or 8 (int64 — the reference's second compress dtype,
+    src/compress.cu:192, e.g. DLRM int64 embedding views
+    tests/nvcomp_comparison.py:39).  Matrices come out as the unsigned
+    twin (uint32/uint64); the numpy codec layer is dtype-generic."""
+    sdt = np.int32 if itemsize == 4 else np.int64
+    udt = np.uint32 if itemsize == 4 else np.uint64
     # null arrays (SQL NULL tokens) are treated as empty documents
-    arrs = [np.asarray(a, np.int32) if a is not None else np.zeros(0, np.int32)
+    arrs = [np.asarray(a, sdt) if a is not None else np.zeros(0, sdt)
             for a in token_arrays]
     ndocs = len(arrs)
     lens = np.fromiter((a.size for a in arrs), np.int64, count=ndocs)
@@ -95,12 +103,12 @@ def frame_batch(token_arrays, vec_size: int = VEC_SIZE) -> FramedBatch:
     tail_len = lens % vec_size
     nblocks = nfull + (tail_len > 0)
 
-    tok_flat = (np.concatenate(arrs) if lens.sum() else np.zeros(0, np.int32))
+    tok_flat = (np.concatenate(arrs) if lens.sum() else np.zeros(0, sdt))
     doc_tok_start = np.cumsum(lens) - lens
 
     # full blocks, doc-major
     full_mat = gather_ranges(tok_flat, doc_tok_start, nfull * vec_size)
-    full_mat = full_mat.reshape(-1, vec_size).view(np.uint32)
+    full_mat = full_mat.reshape(-1, vec_size).view(udt)
 
     # ragged tails grouped by width
     tails: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -116,7 +124,7 @@ def frame_batch(token_arrays, vec_size: int = VEC_SIZE) -> FramedBatch:
             L = int(L)
             docs = tdocs[s:e]
             mat = gather_ranges(tok_flat, tstarts[s:e], twidth[s:e])
-            tails[L] = (mat.reshape(-1, L).view(np.uint32), docs)
+            tails[L] = (mat.reshape(-1, L).view(udt), docs)
 
     return FramedBatch(lens, nfull, tail_len, nblocks, full_mat, tails, vec_size)
 
@@ -128,17 +136,18 @@ def unframe_batch(fb: FramedBatch, full_dec: np.ndarray,
     v = fb.vec_size
     ndocs = len(fb.lens)
     total = int(fb.lens.sum())
-    flat = np.zeros(total, np.int32)
+    sdt = np.int32 if full_dec.dtype.itemsize == 4 else np.int64
+    flat = np.zeros(total, sdt)
     doc_tok_start = np.cumsum(fb.lens) - fb.lens
     # scatter full blocks
-    full_flat = full_dec.view(np.int32).reshape(-1)
+    full_flat = full_dec.view(sdt).reshape(-1)
     tgt = gather_ranges(np.arange(total, dtype=np.int64),
                         doc_tok_start, fb.nfull * v)
     flat[tgt] = full_flat
     # scatter tails: same width within a group, so targets broadcast
     # directly (no O(total) index build per group)
     for L, (mat, docs) in fb.tails.items():
-        dec = tail_dec[L].view(np.int32).reshape(-1, L)
+        dec = tail_dec[L].view(sdt).reshape(-1, L)
         tstarts = doc_tok_start[docs] + fb.nfull[docs] * v
         flat[tstarts[:, None] + np.arange(L)[None, :]] = dec
     return [flat[int(doc_tok_start[i]): int(doc_tok_start[i]) + int(fb.lens[i])]

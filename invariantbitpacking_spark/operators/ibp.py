@@ -47,12 +47,19 @@ class IbpParams:
     """The learned codec parameters — the reference's (mask, bitval)
     'IR' (SURVEY.md §3.1) plus provenance for lineage records."""
 
-    mask: np.ndarray  # uint32 [vec_size]
-    bitval: np.ndarray  # uint32 [vec_size]
+    mask: np.ndarray  # uint32/uint64 [vec_size] (dtype == element width)
+    bitval: np.ndarray  # same dtype as mask
     vec_size: int = VEC_SIZE
     threshold: float | None = None
     saved_bits: int = 0
     num_vecs: int = 0
+
+    @property
+    def item_bytes(self) -> int:
+        """Element width in bytes (the reference's dtype dispatch,
+        src/preprocess.cu:56-72 / src/compress.cu:192: 4- or 8-byte
+        words in the distributed path)."""
+        return self.mask.dtype.itemsize
 
     def to_dict(self) -> dict:
         return {
@@ -60,15 +67,17 @@ class IbpParams:
             "threshold": self.threshold,
             "saved_bits": int(self.saved_bits),
             "num_vecs": int(self.num_vecs),
+            "item_bytes": self.item_bytes,
             "mask": self.mask.tolist(),
             "bitval": self.bitval.tolist(),
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "IbpParams":
+        dt = np.uint32 if int(d.get("item_bytes", 4)) == 4 else np.uint64
         return cls(
-            mask=np.array(d["mask"], np.uint32),
-            bitval=np.array(d["bitval"], np.uint32),
+            mask=np.array(d["mask"], dt),
+            bitval=np.array(d["bitval"], dt),
             vec_size=int(d["vec_size"]),
             threshold=d.get("threshold"),
             saved_bits=int(d.get("saved_bits", 0)),
@@ -76,13 +85,24 @@ class IbpParams:
         )
 
 
+def _elem_bytes(df: DataFrame, tokens_col: str) -> int:
+    """4 for array<int> input, 8 for array<bigint> — the Spark-schema
+    analog of the reference's element-size dispatch."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    dt = df.schema[tokens_col].dataType
+    if isinstance(dt, ArrayType) and isinstance(dt.elementType, LongType):
+        return 8
+    return 4
+
+
 # ---------------------------------------------------------------------------
 # learn_params (preprocess)
 # ---------------------------------------------------------------------------
 
-def _batch_counts(fb: FramedBatch, vec_size: int):
-    """Set-bit counts [v,32] + per-column block coverage [v]."""
-    counts = np.zeros((vec_size, 32), np.int64)
+def _batch_counts(fb: FramedBatch, vec_size: int, word_bits: int = 32):
+    """Set-bit counts [v, W] + per-column block coverage [v]."""
+    counts = np.zeros((vec_size, word_bits), np.int64)
     cov = np.zeros(vec_size, np.int64)
     if fb.full_mat.shape[0]:
         counts += nr.count_bits(fb.full_mat)
@@ -103,16 +123,20 @@ def bit_count_df(df: DataFrame, tokens_col: str = "tokens",
     and a sentinel ``pos = -1`` with the total block count.  Partial
     sums per Arrow batch + a small-key final ``groupBy`` = the exact
     partial/final shape of count_bit_kernel's shmem-then-atomicAdd
-    scheme (ibp_preproc_kernels.cuh:8-31)."""
+    scheme (ibp_preproc_kernels.cuh:8-31).  The word width W follows the
+    input element type (32 for array<int>, 64 for array<bigint> —
+    src/preprocess.cu:56-72 dtype dispatch)."""
+    ib = _elem_bytes(df, tokens_col)
+    w = ib * 8
 
     def counter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf0 in batches:
           for pdf in split_by_token_mass(pdf0, tokens_col):
-            fb = frame_batch(pdf[tokens_col].values, vec_size)
-            counts, cov = _batch_counts(fb, vec_size)
+            fb = frame_batch(pdf[tokens_col].values, vec_size, itemsize=ib)
+            counts, cov = _batch_counts(fb, vec_size, w)
             yield pd.DataFrame({
                 "pos": np.concatenate(
-                    [[-1], np.arange(vec_size * 32 + vec_size)]),
+                    [[-1], np.arange(vec_size * w + vec_size)]),
                 "cnt": np.concatenate(
                     [[int(fb.nblocks.sum())], counts.reshape(-1), cov]),
             })
@@ -140,21 +164,24 @@ def learn_params(df: DataFrame, tokens_col: str = "tokens",
     20-24; ``df.sample`` is the distribution-safe analog)."""
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
+    ib = _elem_bytes(df, tokens_col)
+    w = ib * 8
+    udt = np.uint32 if ib == 4 else np.uint64
 
     rows = bit_count_df(df, tokens_col, vec_size).collect()
-    counts = np.zeros(vec_size * 32, np.int64)
+    counts = np.zeros(vec_size * w, np.int64)
     cov = np.zeros(vec_size, np.int64)
     num_vecs = 0
     for r in rows:
         if r["pos"] == -1:
             num_vecs = int(r["cnt"])
-        elif r["pos"] >= vec_size * 32:
-            cov[r["pos"] - vec_size * 32] = r["cnt"]
+        elif r["pos"] >= vec_size * w:
+            cov[r["pos"] - vec_size * w] = r["cnt"]
         else:
             counts[r["pos"]] = r["cnt"]
-    counts = counts.reshape(vec_size, 32)
+    counts = counts.reshape(vec_size, w)
     if num_vecs == 0:
-        z = np.zeros(vec_size, np.uint32)
+        z = np.zeros(vec_size, udt)
         return IbpParams(z, z.copy(), vec_size, None, 0, 0)
 
     grid = [threshold] if threshold is not None else nr.sweep_thresholds()
@@ -168,7 +195,7 @@ def learn_params(df: DataFrame, tokens_col: str = "tokens",
     def evaluator(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf0 in batches:
           for pdf in split_by_token_mass(pdf0, tokens_col):
-            fb = frame_batch(pdf[tokens_col].values, vec_size)
+            fb = frame_batch(pdf[tokens_col].values, vec_size, itemsize=ib)
             saveds = np.zeros(len(grid), np.int64)
             for g in range(len(grid)):
                 if fb.full_mat.shape[0]:
@@ -196,7 +223,7 @@ def learn_params(df: DataFrame, tokens_col: str = "tokens",
         if saved_by_t[g] > best_saved:
             best_g, best_saved = g, int(saved_by_t[g])
     if best_g is None:
-        z = np.zeros(vec_size, np.uint32)
+        z = np.zeros(vec_size, udt)
         return IbpParams(z, z.copy(), vec_size, None, 0, num_vecs)
     return IbpParams(masks[best_g].copy(), bitvals[best_g].copy(), vec_size,
                      float(grid[best_g]), best_saved, num_vecs)
@@ -262,13 +289,16 @@ def encode_ibp(df: DataFrame, params: IbpParams,
     back-to-back blobs (full blocks then the ragged tail),
     ``block_sizes`` their byte sizes, ``block_flags`` the per-block
     compressed bitmap (LSB-first — the reference's ``bitmask`` int32
-    array, src/compress.cu:214-215).  A pure narrow projection."""
+    array, src/compress.cu:214-215).  A pure narrow projection.
+    Element width follows ``params.mask.dtype`` (4- or 8-byte words,
+    src/compress.cu:192)."""
     mask, bitval, v = params.mask, params.bitval, params.vec_size
+    ib = params.item_bytes
 
     def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf0 in batches:
           for pdf in split_by_token_mass(pdf0, tokens_col, max_batch_tokens):
-            fb = frame_batch(pdf[tokens_col].values, v)
+            fb = frame_batch(pdf[tokens_col].values, v, itemsize=ib)
             payloads, bsizes, bflags, comp_bytes = encode_batch(fb, mask, bitval)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
@@ -280,7 +310,7 @@ def encode_ibp(df: DataFrame, params: IbpParams,
                 "block_flags": bflags,
                 "payload": payloads,
                 "comp_bytes": comp_bytes,
-                "raw_bytes": fb.lens * 4,
+                "raw_bytes": fb.lens * ib,
                 "codec": "ibp",
             })
 
@@ -294,12 +324,13 @@ def decode_docs(lens: np.ndarray, block_sizes_list, block_flags_list,
     """Decode a batch of encoded documents to int32 token arrays —
     the vectorized inverse of :func:`encode_batch`."""
     ndocs = len(lens)
+    sdt = np.int32 if mask.dtype.itemsize == 4 else np.int64
     lens = np.asarray(lens, np.int64)
     nfull = lens // v
     tail_len = lens % v
     nblocks = nfull + (tail_len > 0)
     if ndocs == 0 or nblocks.sum() == 0:
-        return [np.zeros(0, np.int32)] * ndocs
+        return [np.zeros(0, sdt)] * ndocs
     sizes = np.concatenate(
         [np.asarray(s, np.int64) for s in block_sizes_list])
     flat = np.frombuffer(b"".join(payload_list), np.uint8)
@@ -367,7 +398,8 @@ def predict_sizes_ibp(fb: FramedBatch, mask: np.ndarray,
 def decode_ibp(df: DataFrame, params: IbpParams,
                max_batch_tokens: int | None = None) -> DataFrame:
     """Decode an encoded table back to ``(doc_id, tokens, n_tok,
-    source)`` — per-row inverse, bit-identical token arrays."""
+    source)`` — per-row inverse, bit-identical token arrays.  The
+    tokens element type follows ``params.item_bytes`` (int / bigint)."""
     mask, bitval, v = params.mask, params.bitval, params.vec_size
 
     def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -384,6 +416,7 @@ def decode_ibp(df: DataFrame, params: IbpParams,
                 "source": pdf["source"],
             })
 
-    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    elem = "int" if params.item_bytes == 4 else "bigint"
+    schema = f"doc_id string, tokens array<{elem}>, n_tok int, source string"
     return df.select("doc_id", "n_blocks", "block_sizes", "block_flags",
                      "payload", "n_tok", "source").mapInPandas(decoder, schema=schema)
