@@ -141,10 +141,12 @@ def encode_dfor(flat: np.ndarray, lens: np.ndarray):
         d[starts[lens > 0]] = flat[starts[lens > 0]]  # first value verbatim
     mn, mx = _minmax_per_row(d, lens)
     w = width_for((mx - mn).astype(np.uint64))
-    # deltas fit 32 bits? rows where range >= 2^32 can't pack -> widen
-    # is impossible in this format; such rows are rejected by the
-    # selector (diff range of int32 data always fits in 33 bits; clamp
-    # by falling back to w<=32 check upstream).
+    # A row whose delta range exceeds 32 bits (possible: consecutive
+    # diffs of uint32 data span up to 2^33-2) is still encoded
+    # LOSSLESSLY at the clamped w<=32: dfor arithmetic is mod-2^32 —
+    # the bits dropped by the clamp are a multiple of 2^32 per element
+    # and cancel in decode_dfor's final uint32 cast.  (The selector
+    # doesn't need to reject such rows; it only prices them at w=32.)
     deltas = (d - np.repeat(mn, lens)).astype(np.uint64)
     packed, psizes = _pack_grouped(deltas.astype(np.uint32), lens,
                                    np.minimum(w, 32))

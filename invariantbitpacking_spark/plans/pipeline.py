@@ -125,6 +125,14 @@ class CompressionPipeline:
          .write.mode("overwrite").partitionBy("bucket").parquet(staging))
         return staging
 
+    def _wave_paths(self, snapshot_id: str, wave) -> list[str]:
+        """Partition directories a wave just wrote (empty buckets write
+        nothing).  Local-FS listing; on an object store this would go
+        through the Hadoop FileSystem API instead."""
+        paths = [os.path.join(self.data_dir, f"snapshot_id={snapshot_id}",
+                              f"bucket={b}") for b in wave]
+        return [p for p in paths if os.path.exists(p)]
+
     # -- main --------------------------------------------------------------
 
     def run(self, toks: DataFrame, snapshot_id: str,
@@ -149,26 +157,41 @@ class CompressionPipeline:
             part = staged.filter(F.col("bucket").isin(wave))  # dir-pruned
             enc = selector.encode_auto(part, params, allowed=self.allowed,
                                        passthrough=("bucket", "snapshot_id"))
-            (enc.write.mode("append").partitionBy("snapshot_id", "bucket")
+            # Idempotent wave commit: dynamic partition overwrite replaces
+            # exactly the (snapshot_id, bucket) dirs present in this wave's
+            # output, so a wave retried after a crash between the data
+            # write and the lineage append REPLACES its partitions instead
+            # of appending duplicate documents.
+            (enc.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("snapshot_id", "bucket")
              .parquet(self.data_dir))
-            # wave statistics from what was just written (source of truth)
-            written = (self.spark.read.parquet(self.data_dir)
-                       .filter((F.col("bucket").isin(wave))
-                               & (F.col("snapshot_id") == snapshot_id)))
-            stats = (written.groupBy("bucket").agg(
-                F.count(F.lit(1)).alias("docs"),
-                F.sum("n_tok").alias("tokens"),
-                F.sum("raw_bytes").alias("raw_bytes"),
-                F.sum("comp_bytes").alias("comp_bytes"),
-                # XOR-fold of per-doc hashes: order-insensitive, no overflow
-                F.expr("bit_xor(xxhash64(payload))").alias("payload_xxh"),
-            ).collect())
-            mixes = {r["bucket"]: r["cnt_map"] for r in (
-                written.groupBy("bucket", "codec").count()
-                .groupBy("bucket")
-                .agg(F.map_from_entries(F.collect_list(F.struct(
-                    "codec", "count"))).alias("cnt_map"))
-                .collect())}
+            # wave statistics from what was just written (source of
+            # truth), reading ONLY this wave's partition directories —
+            # a filter over data_dir would re-list every snapshot/bucket
+            # ever written, a listing that grows with pipeline history
+            paths = self._wave_paths(snapshot_id, wave)
+            if paths:
+                written = (self.spark.read
+                           .option("basePath", self.data_dir)
+                           .parquet(*paths))
+                stats = (written.groupBy("bucket").agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum("n_tok").alias("tokens"),
+                    F.sum("raw_bytes").alias("raw_bytes"),
+                    F.sum("comp_bytes").alias("comp_bytes"),
+                    # XOR-fold of per-doc hashes: order-insensitive, no
+                    # overflow
+                    F.expr("bit_xor(xxhash64(payload))").alias("payload_xxh"),
+                ).collect())
+                mixes = {r["bucket"]: r["cnt_map"] for r in (
+                    written.groupBy("bucket", "codec").count()
+                    .groupBy("bucket")
+                    .agg(F.map_from_entries(F.collect_list(F.struct(
+                        "codec", "count"))).alias("cnt_map"))
+                    .collect())}
+            else:  # every bucket in the wave was empty
+                stats, mixes = [], {}
             wall = time.perf_counter() - t0
             now = time.time()
             rows = []

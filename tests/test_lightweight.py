@@ -94,3 +94,21 @@ def test_dict_cardinality_guard():
     lens = np.array([70000], np.int64)
     with pytest.raises(ValueError):
         lw.encode_dict(flat, lens)
+
+
+def test_dfor_delta_range_beyond_32_bits_is_lossless():
+    """Alternating near-extremes make the consecutive-diff range span
+    ~2^33 (> 32 bits); the w<=32 clamp must stay lossless because dfor
+    arithmetic is mod-2^32 (dropped high bits are multiples of 2^32
+    and cancel in the final uint32 cast)."""
+    from invariantbitpacking_spark.codecs.lightweight import (
+        decode_dfor, encode_dfor)
+
+    row = np.array([0, 0xFFFFFFFF, 0, 0xFFFFFFFF, 7, 0xFFFFFFF0],
+                   np.uint32)
+    lens = np.array([row.size], np.int64)
+    blob, sizes = encode_dfor(row, lens)
+    out = decode_dfor(blob, sizes, lens)
+    assert (out == row).all()
+    # and the packed width was indeed clamped to 32
+    assert blob[8] == 32

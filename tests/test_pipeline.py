@@ -89,3 +89,25 @@ def test_cleanup_staging(spark, tokens_df, outdir):
     # encoded data and round-trip unaffected by dropping the staged copy
     p = pipe.load_or_learn_params(sub, "c1")
     assert pipe.verify_roundtrip(sub, p, "c1") == 0
+
+
+def test_wave_retry_is_idempotent(spark, tokens_df, outdir):
+    """Crash between the wave's parquet write and its lineage append:
+    the retried wave must REPLACE its (snapshot, bucket) partitions
+    (dynamic partition overwrite), not append duplicate documents."""
+    import shutil
+
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=3,
+                               sample_fraction=None)
+    pipe.run(tokens_df, "snapR", max_waves=1)
+    # simulate the crash: data for wave 1 is on disk, lineage is not
+    shutil.rmtree(pipe.lineage_dir)
+    res = pipe.run(tokens_df, "snapR")  # full rerun re-encodes wave 1
+    assert res.buckets_done == 8
+    enc = pipe.read_encoded("snapR")
+    total = enc.count()
+    distinct = enc.select("doc_id").distinct().count()
+    assert total == distinct == tokens_df.count()
+    # lineage totals match the table exactly (no double counting)
+    lin = pipe.lineage().filter(F.col("snapshot_id") == "snapR")
+    assert lin.agg(F.sum("docs")).collect()[0][0] == total
