@@ -489,9 +489,18 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fsst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FSST-lite string codec over document text: per-source doc count
-    and lossless-round-trip count (oracle: both equal COUNT(*))."""
+    """FSST-lite string codec over document text with ONE global symbol
+    table: learned once on a driver-side sample, closure-broadcast to
+    every encoder batch (the storable-codec shape the pipeline persists
+    alongside lineage).  Per-source doc count and lossless-round-trip
+    count (oracle: both equal COUNT(*))."""
     import pandas as pd
+
+    from invariantbitpacking_spark.functions import strings as fstr
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source", "text")
+    table = fstr.learn_table_df(docs, ("text",), sample_rows=256)
 
     def rt(batches):
         import numpy as np
@@ -501,14 +510,12 @@ def q_fsst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             texts = pdf["text"].fillna("").tolist()
             flat, lens = fsst.strings_to_flat(texts)
-            table = fsst.build_table(flat[:200_000])
             enc, enc_lens = fsst.encode_strings(flat, lens, table)
             dec, dec_lens = fsst.decode_strings(enc, enc_lens, table)
             ok = np.array(fsst.flat_to_strings(dec, dec_lens)) == np.array(texts)
             yield pd.DataFrame({"source": pdf["source"],
                                 "ok": ok.astype("int64")})
 
-    docs = _docs(spark, sf_dir).select("source", "text")
     res = docs.mapInPandas(rt, schema="source string, ok long")
     return res.groupBy("source").agg(
         F.count(F.lit(1)).alias("docs"), F.sum("ok").alias("ok_docs"))

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..functions import strings as fstr
 from ..operators import selector
 from ..operators.ibp import IbpParams, learn_params
 
@@ -106,6 +107,25 @@ class CompressionPipeline:
         os.replace(tmp, path)
         return params
 
+    def load_or_learn_fsst(self, toks: DataFrame):
+        """ONE global FSST symbol table per pipeline output (learned on
+        a driver-side sample of the doc_id/source columns, persisted as
+        hex): every snapshot's string columns encode against it, so any
+        read of the encoded table — including multi-snapshot reads —
+        stays decodable with a single stored table."""
+        path = os.path.join(self.params_dir, "fsst_table.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return fstr.table_from_hex(json.load(f)["hex"])
+        table = fstr.learn_table_df(toks, ("doc_id", "source"))
+        os.makedirs(self.params_dir, exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"hex": fstr.table_to_hex(table),
+                       "symbols": int(table.size)}, f)
+        os.replace(tmp, path)
+        return table
+
     # -- staging -------------------------------------------------------------
 
     def stage_input(self, toks: DataFrame, snapshot_id: str) -> str:
@@ -139,6 +159,7 @@ class CompressionPipeline:
             max_waves: int | None = None) -> PipelineResult:
         nb = self.num_buckets
         params = self.load_or_learn_params(toks, snapshot_id)
+        fsst_table = self.load_or_learn_fsst(toks)
         staging = self.stage_input(toks, snapshot_id)
         staged = (self.spark.read.parquet(staging)
                   .withColumn("snapshot_id", F.lit(snapshot_id)))
@@ -157,6 +178,9 @@ class CompressionPipeline:
             part = staged.filter(F.col("bucket").isin(wave))  # dir-pruned
             enc = selector.encode_auto(part, params, allowed=self.allowed,
                                        passthrough=("bucket", "snapshot_id"))
+            # string columns ride FSST-encoded against the global table
+            enc = fstr.encode_string_cols(enc, fsst_table,
+                                          ("doc_id", "source"))
             # Idempotent wave commit: dynamic partition overwrite replaces
             # exactly the (snapshot_id, bucket) dirs present in this wave's
             # output, so a wave retried after a crash between the data
@@ -232,11 +256,16 @@ class CompressionPipeline:
 
     def read_encoded(self, snapshot_id: str | None = None) -> DataFrame:
         """Encoded table; partition pruning on (snapshot_id, bucket)
-        dirs makes per-snapshot reads touch only their own files."""
+        dirs makes per-snapshot reads touch only their own files.
+        String columns decode transparently via the persisted global
+        FSST table."""
         df = self.spark.read.parquet(self.data_dir)
         if snapshot_id is not None:
             df = df.filter(F.col("snapshot_id") == snapshot_id)
-        return df
+        path = os.path.join(self.params_dir, "fsst_table.json")
+        with open(path) as f:
+            table = fstr.table_from_hex(json.load(f)["hex"])
+        return fstr.decode_string_cols(df, table, ("doc_id", "source"))
 
     def verify_roundtrip(self, toks: DataFrame, params: IbpParams,
                          snapshot_id: str | None = None) -> int:

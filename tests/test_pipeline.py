@@ -111,3 +111,27 @@ def test_wave_retry_is_idempotent(spark, tokens_df, outdir):
     # lineage totals match the table exactly (no double counting)
     lin = pipe.lineage().filter(F.col("snapshot_id") == "snapR")
     assert lin.agg(F.sum("docs")).collect()[0][0] == total
+
+
+def test_global_fsst_table_persists_and_decodes(spark, tokens_df, outdir):
+    """String columns are written FSST-encoded against ONE persisted
+    symbol table; a fresh pipeline object (new session state) must
+    decode them back from disk using only the stored table."""
+    import os
+
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    pipe.run(tokens_df.limit(200), "snapF")
+    assert os.path.exists(os.path.join(pipe.params_dir, "fsst_table.json"))
+    # raw parquet holds binary doc_id/source (actually encoded)
+    raw = spark.read.parquet(pipe.data_dir)
+    assert dict(raw.dtypes)["doc_id"] == "binary"
+    # a NEW pipeline instance decodes via the persisted table alone
+    pipe2 = CompressionPipeline(spark, outdir, num_buckets=4)
+    dec = pipe2.read_encoded("snapF")
+    want = {r["doc_id"] for r in tokens_df.limit(200).select("doc_id").collect()}
+    got = {r["doc_id"] for r in dec.select("doc_id").collect()}
+    assert got == want
+    srcs = {r["source"] for r in dec.select("source").distinct().collect()}
+    assert srcs <= {r["source"] for r in
+                    tokens_df.select("source").distinct().collect()}
