@@ -222,6 +222,27 @@ def q_gather_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("tokens", -1).alias("tok_last"))
 
 
+def q_gather_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode-side gather (compress/get_compress_size with index_arr,
+    reference src/compress.cu:53-61): a broadcast semi-join selects the
+    wanted documents BEFORE encoding, with sortWithinPartitions as the
+    locality analog of the reference's radix sort of gather indices
+    (src/decompress.cu:63-98).  Only the gathered subset is encoded;
+    decoding it back proves the gathered encode is bit-faithful."""
+    from invariantbitpacking_spark.operators import ibp
+
+    toks = _tokens(spark, sf_dir)
+    params = _params(spark, sf_dir)
+    wanted = toks.select("doc_id").filter(F.col("doc_id").endswith("3"))
+    gathered = (toks.join(F.broadcast(wanted), "doc_id")
+                .sortWithinPartitions("doc_id"))
+    dec = ibp.decode_ibp(ibp.encode_ibp(gathered, params), params)
+    return dec.select(
+        "doc_id", "n_tok",
+        F.element_at("tokens", 1).alias("tok_first"),
+        F.element_at("tokens", -1).alias("tok_last"))
+
+
 def q_condensed_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Condensed-layout byte offsets: the reference packs blobs
     back-to-back at offsets from an inclusive scan of sizes
@@ -537,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ibp_ratio_by_source": q_ibp_ratio_by_source,
         "codec_choice_by_source": q_codec_choice_by_source,
         "gather_decode": q_gather_decode,
+        "gather_encode": q_gather_encode,
         "condensed_offsets": q_condensed_offsets,
         "kmeans_roundtrip_by_source": q_kmeans_roundtrip_by_source,
         "kmeans_vs_global_ratio": q_kmeans_vs_global_ratio,
@@ -724,6 +746,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(toks[-1] AS INT) AS tok_last
             FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
             WHERE CAST(doc_id AS VARCHAR) LIKE '%7'
+        """,
+        "gather_encode": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(toks) AS INT) AS n_tok,
+                   CAST(toks[1] AS INT) AS tok_first,
+                   CAST(toks[-1] AS INT) AS tok_last
+            FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+            WHERE CAST(doc_id AS VARCHAR) LIKE '%3'
         """,
         "fsst_roundtrip": """
             SELECT source, COUNT(*) AS docs, COUNT(*) AS ok_docs
