@@ -491,6 +491,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, num_queries=8, k=5)
 
 
+def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (LSH candidates + exact cosine
+    verify).  The oracle computes the full >=0.9 pair set by brute
+    force in DuckDB; the corpus has none (max pairwise cosine ~0.51),
+    so an exact match proves the operator emits no false positives —
+    recall on planted duplicates is pytest-verified."""
+    from invariantbitpacking_spark.functions.dataops import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = embedding_dup_pairs(emb, threshold=0.9)
+    return p.select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+
+
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invariantbitpacking_spark.functions.dataops import text_quality
 
@@ -575,6 +588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "embedding_dup_pairs": q_embedding_dup_pairs,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -844,6 +858,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM pairs)
             SELECT q_id, CAST(rank AS INT) AS rank, vec_id
             FROM ranked WHERE rank <= 5
+        """,
+        "embedding_dup_pairs": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.9
         """,
         "text_quality": """
             WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,

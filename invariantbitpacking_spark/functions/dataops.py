@@ -228,19 +228,13 @@ def ann_cosine_topk(emb: DataFrame, num_queries: int = 8,
             .select("q_id", "rank", "vec_id"))
 
 
-def ann_lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 5,
-                 planes: int = 4, num_tables: int = 8,
-                 seed: int = 42) -> DataFrame:
-    """Sub-linear ANN: random-hyperplane LSH with ``num_tables``
-    independent tables (candidate union — recall 1-(1-p)^L), exact
-    cosine re-ranking only within collided buckets (candidates ~=
-    n * L / 2^planes).  Approximate by design — recall is measured in
-    tests, not by an exact oracle."""
-    first = emb.select(F.size("embedding").alias("d")).first()
-    dim = int(first["d"])
+def _hyperplane_buckets(e: DataFrame, planes: int, num_tables: int,
+                        seed: int, dim: int) -> DataFrame:
+    """Random-hyperplane LSH bucket ids: ``num_tables`` independent
+    sign-pattern signatures per vector, computed JVM-side.  Output one
+    row per (vec_id, table): (vec_id, v, tbl, bucket)."""
     rng = np.random.default_rng(seed)
     hp = rng.standard_normal((num_tables, planes, dim))
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
     def table_sig(t: int):
         hp_lit = F.array(*[
@@ -258,8 +252,22 @@ def ann_lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 5,
     sigs = F.array(*[
         F.struct(F.lit(t).alias("tbl"), table_sig(t).alias("bucket"))
         for t in range(num_tables)])
-    eb = (e.select("vec_id", "v", F.explode(sigs).alias("s"))
-          .select("vec_id", "v", "s.tbl", "s.bucket"))
+    return (e.select("vec_id", "v", F.explode(sigs).alias("s"))
+            .select("vec_id", "v", "s.tbl", "s.bucket"))
+
+
+def ann_lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 5,
+                 planes: int = 4, num_tables: int = 8,
+                 seed: int = 42) -> DataFrame:
+    """Sub-linear ANN: random-hyperplane LSH with ``num_tables``
+    independent tables (candidate union — recall 1-(1-p)^L), exact
+    cosine re-ranking only within collided buckets (candidates ~=
+    n * L / 2^planes).  Approximate by design — recall is measured in
+    tests, not by an exact oracle."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    eb = _hyperplane_buckets(e, planes, num_tables, seed, dim)
     q = (e.orderBy("vec_id").limit(num_queries)
          .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
     qb = (q.join(eb.select(F.col("vec_id").alias("q_id"),
@@ -281,6 +289,52 @@ def ann_lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 5,
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("q_id", "rank", "vec_id", F.round("sim", 6).alias("sim")))
+
+
+def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
+                        planes: int = 4, num_tables: int = 8,
+                        seed: int = 42, bucket_cap: int = 256) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector twin of
+    :func:`minhash_lsh_pairs`: random-hyperplane LSH candidates
+    (deterministic seed; near-identical vectors share every table's
+    sign pattern with overwhelming probability), exact JVM-side cosine
+    verification, and the same oversized-bucket star-linking guard so a
+    cluster of k identical embeddings costs k-1 candidate pairs, not
+    k^2/2 in one task.  Emitted similarities are exact; false positives
+    are impossible (every candidate is re-verified)."""
+    first = emb.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"])
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    eb = _hyperplane_buckets(e, planes, num_tables, seed, dim)
+    sizes = eb.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).alias("bn"), F.min("vec_id").alias("hub"))
+    b2 = eb.join(sizes, ["tbl", "bucket"])
+    small = b2.filter(F.col("bn") <= bucket_cap)
+    pairs_small = (small.alias("a")
+                   .join(small.alias("b"),
+                         (F.col("a.tbl") == F.col("b.tbl"))
+                         & (F.col("a.bucket") == F.col("b.bucket"))
+                         & (F.col("a.vec_id") < F.col("b.vec_id")))
+                   .select(F.col("a.vec_id").alias("vec_a"),
+                           F.col("b.vec_id").alias("vec_b")))
+    pairs_big = (b2.filter((F.col("bn") > bucket_cap)
+                           & (F.col("vec_id") != F.col("hub")))
+                 .select(F.least("hub", "vec_id").alias("vec_a"),
+                         F.greatest("hub", "vec_id").alias("vec_b")))
+    cand = pairs_small.union(pairs_big).distinct()
+    withv = (cand
+             .join(e.select(F.col("vec_id").alias("vec_a"),
+                            F.col("v").alias("va")), "vec_a")
+             .join(e.select(F.col("vec_id").alias("vec_b"),
+                            F.col("v").alias("vb")), "vec_b"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    return (withv
+            .select("vec_a", "vec_b",
+                    (dot / (nrm(F.col("va")) * nrm(F.col("vb")))).alias("sim"))
+            .filter(F.col("sim") >= threshold))
 
 
 # ---------------------------------------------------------------------------

@@ -152,3 +152,24 @@ def test_ann_lsh_recall(spark):
     a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.4, recall  # 8 tables x 4 planes: union recall
+
+
+def test_embedding_dup_pairs_planted(spark):
+    """Planted near-duplicate embeddings (tiny perturbations) must all
+    surface with exact cosine values; random 16-d vectors (pairwise
+    cosine well below 0.95) must not."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 16))
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    for j in range(5):
+        v = base[j] + rng.standard_normal(16) * 0.01
+        rows.append((100 + j, v.tolist()))
+    vecs = {r[0]: np.array(r[1]) for r in rows}
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = dataops.embedding_dup_pairs(df, threshold=0.95).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in got} == {
+        (j, 100 + j) for j in range(5)}
+    for r in got:
+        a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
+        want = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+        assert abs(r["sim"] - want) < 1e-9
