@@ -258,16 +258,22 @@ def _hyperplane_buckets(e: DataFrame, planes: int, num_tables: int,
 
 def ann_lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 5,
                  planes: int = 4, num_tables: int = 8,
-                 seed: int = 42) -> DataFrame:
+                 seed: int = 42, bucket_cap: int = 100_000) -> DataFrame:
     """Sub-linear ANN: random-hyperplane LSH with ``num_tables``
     independent tables (candidate union — recall 1-(1-p)^L), exact
     cosine re-ranking only within collided buckets (candidates ~=
-    n * L / 2^planes).  Approximate by design — recall is measured in
-    tests, not by an exact oracle."""
+    n * L / 2^planes).  Buckets above ``bucket_cap`` (a degenerate
+    sign pattern swallowing a large corpus fraction) are skipped —
+    the IVF-style probe cap that bounds per-query candidate work; the
+    other L-1 tables still cover their members.  Approximate by
+    design — recall is measured in tests, not by an exact oracle."""
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"])
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     eb = _hyperplane_buckets(e, planes, num_tables, seed, dim)
+    sizes = eb.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("bn"))
+    eb = (eb.join(sizes, ["tbl", "bucket"])
+          .filter(F.col("bn") <= bucket_cap).drop("bn"))
     q = (e.orderBy("vec_id").limit(num_queries)
          .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
     qb = (q.join(eb.select(F.col("vec_id").alias("q_id"),
