@@ -392,6 +392,24 @@ def q_lineitem_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_stats(li, ["l_partkey", "l_suppkey", "l_orderkey"])
 
 
+def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational breadth (SURVEY §2.6 joins/aggregations row): the
+    classic fact-dim star join — orders x customer shuffle-hash join on
+    custkey, nation BROADCAST (tiny dim never shuffles the fact side),
+    partial+final aggregation per nation.  Decimal sums keep the
+    oracle comparison exact (double summation is order-dependent)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    j = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+         .join(F.broadcast(nation),
+               cust.c_nationkey == nation.n_nationkey))
+    return (j.groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                 .cast("decimal(18,2)").alias("total_price")))
+
+
 def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling-window event statistics (batch twin of the watermarked
     streaming aggregation in streaming/windowed_stats.py — Spark gives
@@ -582,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitwidth_histogram": q_bitwidth_histogram,
         "codec_sizes_by_source": q_codec_sizes_by_source,
         "token_topk": q_token_topk,
+        "orders_by_nation": q_orders_by_nation,
         "event_window_stats": q_event_window_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -784,6 +803,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(bit_width AS INT) AS bit_width,
                    COUNT(*) AS docs
             FROM w GROUP BY source, bit_width
+        """,
+        "orders_by_nation": """
+            SELECT n.n_name,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                        AS DECIMAL(18,2)) AS total_price
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "event_window_stats": """
             SELECT date_trunc('hour', ts) AS win_start,

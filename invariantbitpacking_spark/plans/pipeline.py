@@ -267,6 +267,26 @@ class CompressionPipeline:
             table = fstr.table_from_hex(json.load(f)["hex"])
         return fstr.decode_string_cols(df, table, ("doc_id", "source"))
 
+    def verify_checksums(self, snapshot_id: str) -> int:
+        """Integrity audit against lineage: recompute each committed
+        bucket's payload XOR-fold from the written table and compare to
+        the checksum recorded at commit time.  Returns the number of
+        buckets that mismatch or vanished (0 == intact) — the read-side
+        half of the north rule's per-partition metrics."""
+        enc = (self.spark.read.parquet(self.data_dir)
+               .filter(F.col("snapshot_id") == snapshot_id))
+        got = enc.groupBy("bucket").agg(
+            F.expr("bit_xor(xxhash64(payload))").alias("xxh"))
+        lin = (self.lineage()
+               .filter((F.col("snapshot_id") == snapshot_id)
+                       & (F.col("status") == "committed")
+                       & (F.col("docs") > 0))
+               .select("bucket", "payload_xxh"))
+        bad = (got.join(lin, "bucket")
+               .filter(F.col("xxh") != F.col("payload_xxh")).count())
+        missing = lin.join(got, "bucket", "left_anti").count()
+        return bad + missing
+
     def verify_roundtrip(self, toks: DataFrame, params: IbpParams,
                          snapshot_id: str | None = None) -> int:
         """Full decode of the written table vs the source; returns the

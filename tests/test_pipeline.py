@@ -135,3 +135,24 @@ def test_global_fsst_table_persists_and_decodes(spark, tokens_df, outdir):
     srcs = {r["source"] for r in dec.select("source").distinct().collect()}
     assert srcs <= {r["source"] for r in
                     tokens_df.select("source").distinct().collect()}
+
+
+def test_verify_checksums_detects_tamper(spark, tokens_df, outdir):
+    """Read-side integrity audit: recomputed per-bucket payload
+    XOR-folds must match lineage after a clean run and flag a tampered
+    bucket."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    pipe.run(tokens_df.limit(200), "snapC")
+    assert pipe.verify_checksums("snapC") == 0
+    # tamper: append one altered row into an existing bucket partition
+    enc = spark.read.parquet(pipe.data_dir)
+    one = enc.limit(1).withColumn(
+        "payload", F.expr("cast('corrupted' as binary)"))
+    bucket = one.select("bucket").collect()[0][0]
+    import os
+    part_dir = os.path.join(pipe.data_dir, "snapshot_id=snapC",
+                            f"bucket={bucket}")
+    (one.drop("snapshot_id", "bucket").write.mode("append")
+     .parquet(part_dir))
+    assert pipe.verify_checksums("snapC") >= 1
