@@ -199,21 +199,30 @@ class CompressionPipeline:
                 written = (self.spark.read
                            .option("basePath", self.data_dir)
                            .parquet(*paths))
-                stats = (written.groupBy("bucket").agg(
+                # ONE read-back pass per wave: totals + checksum + codec
+                # mix aggregated at (bucket, codec) grain, rolled up to
+                # bucket driver-side (XOR of XOR-folds and sums of sums
+                # compose exactly; the collected frame is <= buckets x
+                # codecs rows)
+                fine = (written.groupBy("bucket", "codec").agg(
                     F.count(F.lit(1)).alias("docs"),
                     F.sum("n_tok").alias("tokens"),
                     F.sum("raw_bytes").alias("raw_bytes"),
                     F.sum("comp_bytes").alias("comp_bytes"),
-                    # XOR-fold of per-doc hashes: order-insensitive, no
-                    # overflow
                     F.expr("bit_xor(xxhash64(payload))").alias("payload_xxh"),
                 ).collect())
-                mixes = {r["bucket"]: r["cnt_map"] for r in (
-                    written.groupBy("bucket", "codec").count()
-                    .groupBy("bucket")
-                    .agg(F.map_from_entries(F.collect_list(F.struct(
-                        "codec", "count"))).alias("cnt_map"))
-                    .collect())}
+                agg: dict[int, dict] = {}
+                for r in fine:
+                    b = int(r["bucket"])
+                    a = agg.setdefault(b, {
+                        "bucket": b, "docs": 0, "tokens": 0, "raw_bytes": 0,
+                        "comp_bytes": 0, "payload_xxh": 0, "mix": {}})
+                    for k in ("docs", "tokens", "raw_bytes", "comp_bytes"):
+                        a[k] += int(r[k])
+                    a["payload_xxh"] ^= int(r["payload_xxh"] or 0)
+                    a["mix"][r["codec"]] = int(r["docs"])
+                stats = list(agg.values())
+                mixes = {a["bucket"]: a["mix"] for a in stats}
             else:  # every bucket in the wave was empty
                 stats, mixes = [], {}
             wall = time.perf_counter() - t0
