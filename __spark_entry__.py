@@ -573,6 +573,34 @@ def q_fsst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs"), F.sum("ok").alias("ok_docs"))
 
 
+def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal asset plumbing over driver data: each document's text
+    bytes are wrapped JVM-side into the deterministic FAKE container
+    (the sandbox's media-decode stub format), then
+    ``decode_and_featurize`` parses headers and extracts byte-histogram
+    features in one Arrow pass.  The oracle recomputes body length and
+    the first four histogram buckets from the same bytes in SQL (text
+    is pure ASCII, so chars == bytes), verifying the decode+featurize
+    math end to end."""
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("asset_id"), "text")
+    # FAKE image container, w=1 h=1 frames=1 (header bytes 5:11 <HHH LE)
+    payload = F.concat(F.lit(b"FAKE\x00"),
+                       F.lit(b"\x01\x00\x01\x00\x01\x00"),
+                       F.encode("text", "utf-8"))
+    assets = docs.select("asset_id", F.lit("image").alias("kind"),
+                         payload.alias("payload"))
+    feats = mm.decode_and_featurize(assets, feat_dim=16)
+    # histogram counts recovered exactly from the normalized float32
+    # features (n/size * size rounds back to the integer count)
+    h = [F.round(F.element_at("features", i + 1) * F.col("body_bytes"))
+         .cast("long").alias(f"hist{i}") for i in range(4)]
+    return feats.select(F.col("asset_id").alias("doc_id"),
+                        "decoded_w", "body_bytes", *h)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invariantbitpacking_spark.functions.dataops import lang_id
 
@@ -612,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
+        "multimodal_featurize": q_multimodal_featurize,
         "fsst_roundtrip": q_fsst_roundtrip,
     }
 
@@ -945,6 +974,26 @@ def oracle_sql() -> dict[str, str]:
                        (a, b) -> (a * 31 + b) % 1000000007)
                    AS fingerprint
             FROM documents
+        """,
+        "multimodal_featurize": """
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+                       FROM documents)
+            SELECT doc_id,
+                   1 AS decoded_w,
+                   CAST(length(text) AS BIGINT) AS body_bytes,
+                   CAST(len(list_filter(range(1, length(text) + 1),
+                        i -> ascii(text[CAST(i AS INT)]) % 16 = 0))
+                        AS BIGINT) AS hist0,
+                   CAST(len(list_filter(range(1, length(text) + 1),
+                        i -> ascii(text[CAST(i AS INT)]) % 16 = 1))
+                        AS BIGINT) AS hist1,
+                   CAST(len(list_filter(range(1, length(text) + 1),
+                        i -> ascii(text[CAST(i AS INT)]) % 16 = 2))
+                        AS BIGINT) AS hist2,
+                   CAST(len(list_filter(range(1, length(text) + 1),
+                        i -> ascii(text[CAST(i AS INT)]) % 16 = 3))
+                        AS BIGINT) AS hist3
+            FROM t
         """,
         "lang_id": """
             WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
