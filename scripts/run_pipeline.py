@@ -75,6 +75,7 @@ def main() -> None:
     if args.verify:
         params = pipe.load_or_learn_params(toks, args.snapshot)
         out["roundtrip_mismatches"] = pipe.verify_roundtrip(toks, params, args.snapshot)
+        out["checksum_mismatches"] = pipe.verify_checksums(args.snapshot)
     if args.cleanup_staging:
         pipe.cleanup_staging(args.snapshot)
     print(json.dumps(out))
