@@ -509,6 +509,19 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, num_queries=8, k=5)
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical-k-means inverted lists + probe + exact
+    re-rank) run at full probe (nprobe == nlist), where it provably
+    equals brute-force top-k — so the whole IVF machinery (quantizer,
+    assignment, probe expansion, in-list re-rank) is oracle-checked
+    against DuckDB; the sub-linear nprobe<nlist behavior is
+    recall-pinned in pytest."""
+    from invariantbitpacking_spark.functions.dataops import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann_ivf_topk(emb, num_queries=8, k=5, nlist=8, nprobe=8)
+
+
 def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (LSH candidates + exact cosine
     verify).  The oracle computes the full >=0.9 pair set by brute
@@ -635,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
@@ -915,6 +929,25 @@ def oracle_sql() -> dict[str, str]:
                        AS rank
                 FROM pairs)
             SELECT q_id, CAST(rank AS INT) AS rank, vec_id
+            FROM ranked WHERE rank <= 5
+        """,
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM e
+                  ORDER BY vec_id LIMIT 8),
+            pairs AS (
+                SELECT q.q_id, e.vec_id,
+                       list_cosine_similarity(e.v, q.qv) AS sim
+                FROM e CROSS JOIN q WHERE e.vec_id != q.q_id),
+            ranked AS (
+                SELECT q_id, vec_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY sim DESC, vec_id ASC)
+                       AS rank
+                FROM pairs)
+            SELECT q_id, CAST(rank AS INT) AS rank, vec_id,
+                   ROUND(sim, 6) AS sim
             FROM ranked WHERE rank <= 5
         """,
         "embedding_dup_pairs": """

@@ -297,6 +297,101 @@ def ann_lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 5,
             .select("q_id", "rank", "vec_id", F.round("sim", 6).alias("sim")))
 
 
+def _ivf_centroids(e: DataFrame, nlist: int, iters: int, seed: int,
+                   sample_rows: int) -> np.ndarray:
+    """Spherical k-means coarse quantizer learned driver-side on an
+    ordered sample (deterministic), centroids unit-normalized.  The
+    IVF index layer of a vector store: tiny (nlist x dim), broadcast
+    into every assign/search closure."""
+    pdf = e.orderBy("vec_id").limit(max(sample_rows, 8 * nlist)).toPandas()
+    V = np.stack([np.asarray(v, np.float64) for v in pdf["v"].values])
+    V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cents = V[rng.choice(V.shape[0], nlist, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(V @ cents.T, axis=1)
+        for c in range(nlist):
+            sel = assign == c
+            if sel.any():
+                m = V[sel].mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents
+
+
+def ivf_assign(e: DataFrame, cents: np.ndarray) -> DataFrame:
+    """Assign each vector to its nearest coarse centroid by cosine
+    (one Arrow-batched matmul per batch) -> adds ``list_id``."""
+    from typing import Iterator as _It
+
+    def asg(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            V = np.stack([np.asarray(v, np.float64) for v in pdf["v"].values])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                1e-12)
+            pdf = pdf.copy()
+            pdf["list_id"] = np.argmax(Vn @ cents.T, axis=1).astype(np.int32)
+            yield pdf
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in e.schema.fields)
+    return e.mapInPandas(asg, schema=f"{fields}, list_id int")
+
+
+def ann_ivf_topk(emb: DataFrame, num_queries: int = 8, k: int = 5,
+                 nlist: int = 8, nprobe: int = 2, iters: int = 5,
+                 seed: int = 42, sample_rows: int = 512) -> DataFrame:
+    """IVF-bucketed ANN — the second scale path next to
+    :func:`ann_lsh_topk`: a spherical-k-means coarse quantizer
+    partitions the corpus into ``nlist`` inverted lists; each query
+    probes only its ``nprobe`` nearest lists and re-ranks exactly
+    inside them, so per-query work is ~nprobe/nlist of the corpus.
+    With ``nprobe == nlist`` the result provably equals brute force
+    (pytest-pinned); below that it is approximate by design."""
+    e = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"))
+    cents = _ivf_centroids(e, nlist, iters, seed, sample_rows)
+    lists = ivf_assign(e, cents)
+    # queries: lowest vec_ids (same convention as the other ANN ops);
+    # their nprobe nearest lists expand to one row per (query, probe)
+    q = (e.orderBy("vec_id").limit(num_queries)
+         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv")))
+
+    def probes(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack([np.asarray(v, np.float64)
+                          for v in pdf["qv"].values])
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True),
+                                1e-12)
+            order = np.argsort(-(Vn @ cents.T), axis=1)[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame({
+                "q_id": np.repeat(pdf["q_id"].values, nprobe),
+                "qv": [pdf["qv"].values[i] for i in range(n)
+                       for _ in range(nprobe)],
+                "list_id": order.reshape(-1).astype(np.int32)})
+
+    qp = q.mapInPandas(
+        probes, schema=f"q_id {q.schema['q_id'].dataType.simpleString()}, "
+                       "qv array<double>, list_id int")
+    cand = (lists.join(F.broadcast(qp), "list_id")
+            .filter(F.col("vec_id") != F.col("q_id")))
+    dot = F.aggregate(F.zip_with("v", "qv", lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
+    # no distinct needed: list assignment is unique, so a (query,
+    # vector) pair can surface through at most one probed list
+    pairs = cand.select("q_id", "vec_id",
+                        (dot / (nrm(F.col("v")) * nrm(F.col("qv"))))
+                        .alias("sim"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "rank", "vec_id", F.round("sim", 6).alias("sim")))
+
+
 def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                         planes: int = 4, num_tables: int = 8,
                         seed: int = 42, bucket_cap: int = 256) -> DataFrame:

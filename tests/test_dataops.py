@@ -173,3 +173,25 @@ def test_embedding_dup_pairs_planted(spark):
         a, b = vecs[r["vec_a"]], vecs[r["vec_b"]]
         want = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
         assert abs(r["sim"] - want) < 1e-9
+
+
+def test_ann_ivf_full_probe_equals_exact(spark):
+    """nprobe == nlist must reproduce brute-force cosine top-k exactly
+    (every list probed -> nothing pruned)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r["q_id"], r["rank"], r["vec_id"])
+             for r in dataops.ann_cosine_topk(emb, num_queries=6, k=4).collect()}
+    full = {(r["q_id"], r["rank"], r["vec_id"])
+            for r in dataops.ann_ivf_topk(
+                emb, num_queries=6, k=4, nlist=8, nprobe=8).collect()}
+    assert full == exact
+
+
+def test_ann_ivf_recall(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = dataops.ann_cosine_topk(emb, num_queries=8, k=5)
+    approx = dataops.ann_ivf_topk(emb, num_queries=8, k=5,
+                                  nlist=8, nprobe=3)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.4, len(e & a) / len(e)
