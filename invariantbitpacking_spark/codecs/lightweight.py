@@ -45,44 +45,72 @@ def _scatter_rows(out: np.ndarray, dst_starts: np.ndarray,
 
 def _pack_grouped(flat_vals: np.ndarray, lens: np.ndarray,
                   w_per_row: np.ndarray):
-    """pack_fixed with a per-row width: groups rows by width.
+    """pack_fixed with a per-row width: rows are REORDERED by width
+    once (one global gather), each width group then packs a contiguous
+    slice (no per-group index building), and one final gather restores
+    the original row order.  2 big gathers instead of 2 per width.
 
     Returns (packed rows back-to-back in ORIGINAL row order, per-row
     packed byte sizes)."""
     lens = np.asarray(lens, np.int64)
     w_per_row = np.asarray(w_per_row, np.int64)
     sizes = (-(-lens // 8)) * w_per_row
-    out = np.zeros(int(sizes.sum()), np.uint8)
-    out_starts = np.cumsum(sizes) - sizes
+    if len(lens) == 0 or int(sizes.sum()) == 0:
+        return np.zeros(0, np.uint8), sizes
     starts = np.cumsum(lens) - lens
-    for w in np.unique(w_per_row):
-        if w == 0:
+    order = np.argsort(w_per_row, kind="stable")
+    lens_s = lens[order]
+    w_s = w_per_row[order]
+    sizes_s = sizes[order]
+    vals_s = gather_ranges(flat_vals, starts[order], lens_s)
+    val_off = np.cumsum(lens_s) - lens_s
+    out_off = np.cumsum(sizes_s) - sizes_s
+    out_s = np.zeros(int(sizes_s.sum()), np.uint8)
+    uniq, gs = np.unique(w_s, return_index=True)
+    ge = np.append(gs[1:], len(w_s))
+    for u, s, e in zip(uniq, gs, ge):
+        if u == 0:
             continue
-        rows = np.flatnonzero(w_per_row == w)
-        vals = gather_ranges(flat_vals, starts[rows], lens[rows])
-        packed, psizes = pack_fixed(vals, lens[rows], int(w))
-        _scatter_rows(out, out_starts[rows], packed, psizes)
+        seg = vals_s[val_off[s]: val_off[e - 1] + lens_s[e - 1]]
+        packed, _ = pack_fixed(seg, lens_s[s:e], int(u))
+        out_s[out_off[s]: out_off[s] + packed.size] = packed
+    # restore original row order
+    pos = np.empty(len(order), np.int64)
+    pos[order] = np.arange(len(order))
+    out = gather_ranges(out_s, out_off[pos], sizes)
     return out, sizes
 
 
 def _unpack_grouped(flat_bytes: np.ndarray, byte_starts: np.ndarray,
                     lens: np.ndarray, w_per_row: np.ndarray) -> np.ndarray:
     """Inverse of _pack_grouped; returns values concatenated in original
-    row order."""
+    row order.  Same width-sort restructure: one gather of the packed
+    bytes in width order, contiguous per-group unpacks, one gather to
+    restore row order."""
     lens = np.asarray(lens, np.int64)
     w_per_row = np.asarray(w_per_row, np.int64)
     total = int(lens.sum())
-    out = np.zeros(total, np.uint32)
-    val_starts = np.cumsum(lens) - lens
+    if total == 0 or len(lens) == 0:
+        return np.zeros(total, np.uint32)
     psizes = (-(-lens // 8)) * w_per_row
-    for w in np.unique(w_per_row):
-        if w == 0:
+    order = np.argsort(w_per_row, kind="stable")
+    lens_s = lens[order]
+    w_s = w_per_row[order]
+    bytes_s = gather_ranges(flat_bytes, byte_starts[order], psizes[order])
+    byte_off = np.cumsum(psizes[order]) - psizes[order]
+    val_off = np.cumsum(lens_s) - lens_s
+    vals_s = np.zeros(total, np.uint32)
+    uniq, gs = np.unique(w_s, return_index=True)
+    ge = np.append(gs[1:], len(w_s))
+    for u, s, e in zip(uniq, gs, ge):
+        if u == 0:
             continue
-        rows = np.flatnonzero(w_per_row == w)
-        chunk = gather_ranges(flat_bytes, byte_starts[rows], psizes[rows])
-        vals = unpack_fixed(chunk, lens[rows], int(w))
-        _scatter_rows(out, val_starts[rows], vals, lens[rows])
-    return out
+        seg = bytes_s[byte_off[s]: byte_off[e - 1] + psizes[order][e - 1]]
+        vals = unpack_fixed(seg, lens_s[s:e], int(u))
+        vals_s[val_off[s]: val_off[s] + vals.size] = vals
+    pos = np.empty(len(order), np.int64)
+    pos[order] = np.arange(len(order))
+    return gather_ranges(vals_s, val_off[pos], lens)
 
 
 # ---------------------------------------------------------------------------

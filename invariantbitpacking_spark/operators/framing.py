@@ -60,15 +60,24 @@ def split_by_token_mass(pdf, tokens_col: str = "tokens",
 
 def gather_ranges(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Concatenate flat[starts[i] : starts[i]+lengths[i]] for all i —
-    vectorized variable-length gather (no per-range Python)."""
+    vectorized variable-length gather (no per-range Python).  The index
+    vector is built as a cumsum over per-position deltas (ones within a
+    range, a jump at each range boundary): one pass, no repeat/arange
+    temporaries."""
     lengths = np.asarray(lengths, np.int64)
     starts = np.asarray(starts, np.int64)
     total = int(lengths.sum())
     if total == 0:
         return flat[:0]
-    ends = np.cumsum(lengths)
-    within = np.arange(total, dtype=np.int64) - np.repeat(ends - lengths, lengths)
-    return flat[np.repeat(starts, lengths) + within]
+    nz = lengths > 0
+    if not nz.all():
+        starts, lengths = starts[nz], lengths[nz]
+    out_pos = np.cumsum(lengths) - lengths
+    idx = np.ones(total, np.int64)
+    idx[0] = starts[0]
+    if len(starts) > 1:
+        idx[out_pos[1:]] = starts[1:] - (starts[:-1] + lengths[:-1]) + 1
+    return flat[np.cumsum(idx)]
 
 
 @dataclass
