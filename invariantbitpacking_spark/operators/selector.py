@@ -26,7 +26,21 @@ from pyspark.sql import DataFrame, functions as F
 from ..codecs import lightweight as lw
 from ..codecs.bitutil import width_for
 from .framing import frame_batch, gather_ranges, split_by_token_mass
-from .ibp import ENCODED_SCHEMA, IbpParams, decode_docs, encode_batch, predict_sizes_ibp
+from .ibp import (ENCODED_SCHEMA, IbpParams, _elem_bytes, decode_docs,
+                  encode_batch, predict_sizes_ibp)
+
+
+def _require_int32(df: DataFrame, tokens_col: str, op: str) -> None:
+    """The lightweight codec family packs 32-bit words; silently
+    truncating array<bigint> input would corrupt data, so refuse it
+    here — 64-bit elements go through the pure-IBP path (encode_ibp /
+    decode_ibp), mirroring the reference's compress dtype dispatch
+    (src/compress.cu:192: 4- or 8-byte, IBP only)."""
+    if _elem_bytes(df, tokens_col) != 4:
+        raise ValueError(
+            f"{op}: tokens column must be array<int> — the dict/RLE/FOR "
+            "codec family is 32-bit; use encode_ibp/decode_ibp for "
+            "array<bigint> input")
 
 # raw first so an incompressible document ties (ibp clamps to raw size)
 # resolve to the plain layout; compressible data always beats raw strictly
@@ -169,6 +183,7 @@ def encode_auto(df: DataFrame, params: IbpParams,
     ``codec`` column recording the per-document choice.  ``passthrough``
     columns (e.g. a salt bucket) are carried to the output unchanged —
     cheaper than re-joining them afterwards."""
+    _require_int32(df, tokens_col, "encode_auto")
 
     def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf0 in batches:
@@ -209,6 +224,7 @@ def predicted_sizes_by_source(df: DataFrame, params: IbpParams,
     invariance-vs-bitpack comparison (tests/invariance_perc.py:27-76),
     with the whole codec family instead of two baselines.  One scan, no
     encoding."""
+    _require_int32(df, tokens_col, "predicted_sizes_by_source")
 
     def sizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf0 in batches:

@@ -79,3 +79,22 @@ def test_selected_sizes_are_exact(spark, tokens_df, params):
      ) = selector.encode_docs_auto(arrays, params)
     for i, c in enumerate(codecs):
         assert sizes[c][i] == comp_bytes[i], (i, c)
+
+
+def test_encode_auto_refuses_int64(spark):
+    """array<bigint> through the 32-bit codec family would silently
+    truncate; the selector must refuse and point at the IBP path."""
+    import numpy as np
+    import pytest as _pytest
+
+    from invariantbitpacking_spark.operators import ibp, selector
+
+    rows = [("d0", [2**40 + 5, 7], 2, "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<bigint>, n_tok int, source string")
+    params = ibp.learn_params(df)
+    with _pytest.raises(ValueError, match="array<int>"):
+        selector.encode_auto(df, params)
+    # the sanctioned 64-bit path round-trips the same rows
+    dec = ibp.decode_ibp(ibp.encode_ibp(df, params), params).collect()
+    assert list(dec[0]["tokens"]) == [2**40 + 5, 7]
