@@ -55,3 +55,24 @@ def test_kmeans_on_unimodal_is_safe(spark, tokens_df):
     bad = (sub.alias("a").join(dec.alias("b"), "doc_id")
            .filter(F.col("a.tokens") != F.col("b.tokens")).count())
     assert bad == 0
+
+
+def test_kmeans_encode_handles_empty_and_null_docs(spark):
+    """Empty and NULL token arrays must survive the clustered
+    encode/decode path (block_clusters bookkeeping with 0 blocks)."""
+    import numpy as np
+
+    from invariantbitpacking_spark.operators import kmeans as km
+
+    rng = np.random.default_rng(11)
+    rows = [(f"d{i:03d}", rng.integers(0, 1000, 80).tolist(), 80, "s")
+            for i in range(40)]
+    rows += [("empty", [], 0, "s"), ("null", None, 0, "s")]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    kp = km.learn_kmeans(df, k=2, iters=2, vec_size=16)
+    dec = {r["doc_id"]: list(r["tokens"])
+           for r in km.decode_ibp_kmeans(km.encode_ibp_kmeans(df, kp), kp)
+           .collect()}
+    assert dec["empty"] == [] and dec["null"] == []
+    assert dec["d000"] == rows[0][1]
