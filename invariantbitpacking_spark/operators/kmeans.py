@@ -36,6 +36,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import numpy_ref as nr
+from ..codecs.lightweight import _scatter_rows
 from ..codecs.numpy_ref import popcount32
 from .framing import (FramedBatch, VEC_SIZE, frame_batch, gather_ranges,
                       split_by_token_mass, unframe_batch)
@@ -276,11 +277,14 @@ def encode_ibp_kmeans(df: DataFrame, kp: KmeansParams,
             fb = frame_batch(pdf[tokens_col].values, v)
             ndocs = len(fb.lens)
             nb_tot = int(fb.nblocks.sum())
-            # global block table in doc-major order
+            # global block table in doc-major order; blobs land in ONE
+            # flat buffer via vectorized scatters (two-phase: every
+            # group's sizes first, then offsets, then byte scatters —
+            # no per-block Python)
             sizes = np.zeros(nb_tot, np.int64)
             is_comp = np.zeros(nb_tot, bool)
             clusters = np.zeros(nb_tot, np.uint8)
-            blobs: dict[int, np.ndarray] = {}
+            pending: list[tuple] = []  # (block ids, group blob, sizes)
             blk_start = np.cumsum(fb.nblocks) - fb.nblocks
             # full blocks, grouped by cluster
             if fb.full_mat.shape[0]:
@@ -294,12 +298,10 @@ def encode_ibp_kmeans(df: DataFrame, kp: KmeansParams,
                     sel = cl == c
                     flat, sz, ic = _encode_group(
                         fb.full_mat[sel], masks[c], bitvals[c])
-                    off = np.cumsum(sz) - sz
                     tgt = gidx[sel]
                     sizes[tgt] = sz
                     is_comp[tgt] = ic
-                    for j, g in enumerate(tgt):
-                        blobs[int(g)] = flat[off[j]:off[j] + sz[j]]
+                    pending.append((tgt, flat, sz))
             # tails: assign by prefix distance, group by (cluster, L)
             for L, (mat, docs) in fb.tails.items():
                 cl = hamming_assign(mat, cents[:, :L])
@@ -309,23 +311,32 @@ def encode_ibp_kmeans(df: DataFrame, kp: KmeansParams,
                     sel = cl == c
                     flat, sz, ic = _encode_group(
                         mat[sel], masks[c][:L], bitvals[c][:L])
-                    off = np.cumsum(sz) - sz
                     tgt = gidx[sel]
                     sizes[tgt] = sz
                     is_comp[tgt] = ic
-                    for j, g in enumerate(tgt):
-                        blobs[int(g)] = flat[off[j]:off[j] + sz[j]]
+                    pending.append((tgt, flat, sz))
+            offsets = np.cumsum(sizes) - sizes
+            buf = np.zeros(int(sizes.sum()), np.uint8)
+            for tgt, flat, sz in pending:
+                _scatter_rows(buf, offsets[tgt], flat, sz)
+            # blocks are doc-major, so each doc's payload is one
+            # contiguous buffer slice
+            doc_bytes = (np.bincount(
+                np.repeat(np.arange(ndocs), fb.nblocks), weights=sizes,
+                minlength=ndocs).astype(np.int64) if nb_tot
+                else np.zeros(ndocs, np.int64))
+            doc_off = np.cumsum(doc_bytes) - doc_bytes
             payloads, bsizes, bflags, bclusters = [], [], [], []
-            comp_bytes = np.zeros(ndocs, np.int64)
+            comp_bytes = doc_bytes
             for i in range(ndocs):
                 b0, b1 = int(blk_start[i]), int(blk_start[i] + fb.nblocks[i])
                 payloads.append(
-                    b"".join(blobs[g].tobytes() for g in range(b0, b1)))
+                    buf[int(doc_off[i]):int(doc_off[i] + doc_bytes[i])]
+                    .tobytes())
                 bsizes.append(sizes[b0:b1].astype(np.int32))
                 bflags.append(np.packbits(
                     is_comp[b0:b1].astype(np.uint8), bitorder="little").tobytes())
                 bclusters.append(clusters[b0:b1].tobytes())
-                comp_bytes[i] = int(sizes[b0:b1].sum())
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"], "source": pdf["source"],
                 "n_tok": fb.lens.astype("int32"),
