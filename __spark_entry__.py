@@ -339,6 +339,87 @@ def q_ibp64_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _tokens16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int16 view of the tokens table: vocab ids are < 32000 so the
+    smallint cast is lossless — the uint16-vocab-ids case of the
+    reference's element dispatch (src/preprocess.cu:25-26 instantiates
+    int16; sensitivity harness sweeps it, tests/sens_threshold.py:31-34)."""
+    t = _tokens(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        F.transform("tokens", lambda x: x.cast("smallint")).alias("tokens"),
+        "n_tok", "source")
+
+
+def q_bitcount16_suppkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_bit_kernel over 2-byte elements (int16 template
+    instantiation, src/preprocess.cu:25-26): 16 per-bit set counts of a
+    smallint view of lineitem.l_suppkey (mod 2^14 keeps the view
+    lossless at any scale factor)."""
+    from invariantbitpacking_spark.operators.ibp import bit_count_df
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    toks = li.select(F.array(
+        (F.col("l_suppkey") % 16384).cast("smallint")).alias("tokens"))
+    return bit_count_df(toks, vec_size=1)
+
+
+def q_ibp16_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IBP over 2-byte elements end-to-end: learn_params /
+    encode_ibp / decode_ibp on an array<smallint> column (reference
+    preprocess dtype dispatch int8/int16/int32/ull,
+    src/preprocess.cu:25-26, 56-72).  Oracle asserts every document
+    decodes bit-identical."""
+    from invariantbitpacking_spark.operators import ibp
+
+    toks = _tokens16(spark, sf_dir)
+    params = ibp.learn_params(toks)
+    assert params.item_bytes == 2
+    dec = ibp.decode_ibp(ibp.encode_ibp(toks, params), params)
+    joined = (
+        toks.alias("a")
+        .join(dec.alias("b"), "doc_id")
+        .select(
+            F.col("a.source").alias("source"),
+            (F.col("a.tokens") == F.col("b.tokens")).cast("long").alias("ok"),
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ok").alias("ok_docs"),
+    )
+
+
+def q_ibp8_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed IBP over 1-byte elements (int8 instantiation,
+    src/preprocess.cu:25-26 — the byte-quantized-embeddings case):
+    tokens folded into 0..127 as array<tinyint>, learn / encode /
+    decode, every document bit-identical."""
+    from invariantbitpacking_spark.operators import ibp
+
+    t = _tokens(spark, sf_dir)
+    toks = t.select(
+        "doc_id",
+        F.transform("tokens", lambda x: (x % 128).cast("tinyint"))
+        .alias("tokens"),
+        "n_tok", "source")
+    params = ibp.learn_params(toks)
+    assert params.item_bytes == 1
+    dec = ibp.decode_ibp(ibp.encode_ibp(toks, params), params)
+    joined = (
+        toks.alias("a")
+        .join(dec.alias("b"), "doc_id")
+        .select(
+            F.col("a.source").alias("source"),
+            (F.col("a.tokens") == F.col("b.tokens")).cast("long").alias("ok"),
+        )
+    )
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ok").alias("ok_docs"),
+    )
+
+
 def q_kmeans_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustered-mask round-trip — the reference's second preprocessing
     mode (preprocess_kmeans, src/preprocess.cu:88-139; Hamming assign
@@ -396,8 +477,11 @@ def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational breadth (SURVEY §2.6 joins/aggregations row): the
     classic fact-dim star join — orders x customer shuffle-hash join on
     custkey, nation BROADCAST (tiny dim never shuffles the fact side),
-    partial+final aggregation per nation.  Decimal sums keep the
-    oracle comparison exact (double summation is order-dependent)."""
+    partial+final aggregation per nation.  The sum runs in decimal so
+    it is order-independent and exact; the FINAL decimal converts to
+    double once, giving a representation-stable value both engines
+    canonicalize identically (double summation would be
+    order-dependent; raw decimals hash differently across engines)."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
@@ -407,7 +491,8 @@ def q_orders_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.groupBy("n_name")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-                 .cast("decimal(18,2)").alias("total_price")))
+                 .cast("decimal(18,2)").cast("double")
+                 .alias("total_price")))
 
 
 def q_event_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -636,6 +721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_vs_global_ratio": q_kmeans_vs_global_ratio,
         "bitcount64_orderkey": q_bitcount64_orderkey,
         "ibp64_roundtrip_by_source": q_ibp64_roundtrip_by_source,
+        "bitcount16_suppkey": q_bitcount16_suppkey,
+        "ibp16_roundtrip_by_source": q_ibp16_roundtrip_by_source,
+        "ibp8_roundtrip_by_source": q_ibp8_roundtrip_by_source,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
         "bitwidth_histogram": q_bitwidth_histogram,
@@ -719,6 +807,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT -1, COUNT(*) FROM lineitem
             UNION ALL
             SELECT 64, COUNT(*) FROM lineitem  -- column-0 coverage row
+        """,
+        "bitcount16_suppkey": """
+            SELECT CAST(bit AS INT) AS pos,
+                   CAST(SUM(((l_suppkey % 16384) >> bit) & 1)
+                        AS BIGINT) AS cnt
+            FROM lineitem, (SELECT UNNEST(range(16)) AS bit)
+            GROUP BY bit
+            UNION ALL
+            SELECT -1, COUNT(*) FROM lineitem
+            UNION ALL
+            SELECT 16, COUNT(*) FROM lineitem  -- column-0 coverage row
+        """,
+        "ibp16_roundtrip_by_source": """
+            SELECT source,
+                   COUNT(*) AS docs,
+                   COUNT(*) AS ok_docs
+            FROM documents GROUP BY source
+        """,
+        "ibp8_roundtrip_by_source": """
+            SELECT source,
+                   COUNT(*) AS docs,
+                   COUNT(*) AS ok_docs
+            FROM documents GROUP BY source
         """,
         "ibp_ratio_by_source": f"""
             SELECT source,
@@ -850,8 +961,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_nation": """
             SELECT n.n_name,
                    COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
-                        AS DECIMAL(18,2)) AS total_price
+                   CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                             AS DECIMAL(18,2)) AS DOUBLE) AS total_price
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -94,15 +94,21 @@ class FramedBatch:
     vec_size: int
 
 
+SIGNED_DT = {1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}
+UNSIGNED_DT = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
 def frame_batch(token_arrays, vec_size: int = VEC_SIZE,
                 itemsize: int = 4) -> FramedBatch:
-    """``itemsize`` selects the element width: 4 (int32 tokens, the
-    primary path) or 8 (int64 — the reference's second compress dtype,
-    src/compress.cu:192, e.g. DLRM int64 embedding views
-    tests/nvcomp_comparison.py:39).  Matrices come out as the unsigned
-    twin (uint32/uint64); the numpy codec layer is dtype-generic."""
-    sdt = np.int32 if itemsize == 4 else np.int64
-    udt = np.uint32 if itemsize == 4 else np.uint64
+    """``itemsize`` selects the element width: 1/2/4/8 bytes — the full
+    reference preprocess dtype dispatch (src/preprocess.cu:25-26,
+    56-72 instantiates int8/int16/int32/ull; compress adds the 4/8-byte
+    pair, src/compress.cu:192).  4 (int32 tokens) is the primary path;
+    1/2-byte views cover byte-quantized embeddings and uint16 vocab
+    ids.  Matrices come out as the unsigned twin; the numpy codec layer
+    is dtype-generic."""
+    sdt = SIGNED_DT[itemsize]
+    udt = UNSIGNED_DT[itemsize]
     # null arrays (SQL NULL tokens) are treated as empty documents
     arrs = [np.asarray(a, sdt) if a is not None else np.zeros(0, sdt)
             for a in token_arrays]
@@ -145,7 +151,7 @@ def unframe_batch(fb: FramedBatch, full_dec: np.ndarray,
     v = fb.vec_size
     ndocs = len(fb.lens)
     total = int(fb.lens.sum())
-    sdt = np.int32 if full_dec.dtype.itemsize == 4 else np.int64
+    sdt = SIGNED_DT[full_dec.dtype.itemsize]
     flat = np.zeros(total, sdt)
     doc_tok_start = np.cumsum(fb.lens) - fb.lens
     # scatter full blocks

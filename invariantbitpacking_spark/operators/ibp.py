@@ -38,8 +38,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import numpy_ref as nr
-from .framing import (VEC_SIZE, FramedBatch, frame_batch, gather_ranges,
-                      split_by_token_mass, unframe_batch)
+from .framing import (SIGNED_DT, UNSIGNED_DT, VEC_SIZE, FramedBatch,
+                      frame_batch, gather_ranges, split_by_token_mass,
+                      unframe_batch)
 
 
 @dataclass
@@ -74,7 +75,9 @@ class IbpParams:
 
     @classmethod
     def from_dict(cls, d: dict) -> "IbpParams":
-        dt = np.uint32 if int(d.get("item_bytes", 4)) == 4 else np.uint64
+        from .framing import UNSIGNED_DT
+
+        dt = UNSIGNED_DT[int(d.get("item_bytes", 4))]
         return cls(
             mask=np.array(d["mask"], dt),
             bitval=np.array(d["bitval"], dt),
@@ -86,13 +89,20 @@ class IbpParams:
 
 
 def _elem_bytes(df: DataFrame, tokens_col: str) -> int:
-    """4 for array<int> input, 8 for array<bigint> — the Spark-schema
-    analog of the reference's element-size dispatch."""
-    from pyspark.sql.types import ArrayType, LongType
+    """Element width from the Spark schema: 1 for array<tinyint>, 2 for
+    array<smallint>, 4 for array<int>, 8 for array<bigint> — the full
+    reference element-size dispatch (src/preprocess.cu:25-26, 56-72
+    instantiates int8/int16/int32/ull)."""
+    from pyspark.sql.types import ArrayType, ByteType, LongType, ShortType
 
     dt = df.schema[tokens_col].dataType
-    if isinstance(dt, ArrayType) and isinstance(dt.elementType, LongType):
-        return 8
+    if isinstance(dt, ArrayType):
+        if isinstance(dt.elementType, ByteType):
+            return 1
+        if isinstance(dt.elementType, ShortType):
+            return 2
+        if isinstance(dt.elementType, LongType):
+            return 8
     return 4
 
 
@@ -166,7 +176,7 @@ def learn_params(df: DataFrame, tokens_col: str = "tokens",
         df = df.sample(fraction=sample_fraction, seed=seed)
     ib = _elem_bytes(df, tokens_col)
     w = ib * 8
-    udt = np.uint32 if ib == 4 else np.uint64
+    udt = UNSIGNED_DT[ib]
 
     rows = bit_count_df(df, tokens_col, vec_size).collect()
     counts = np.zeros(vec_size * w, np.int64)
@@ -324,7 +334,7 @@ def decode_docs(lens: np.ndarray, block_sizes_list, block_flags_list,
     """Decode a batch of encoded documents to int32 token arrays —
     the vectorized inverse of :func:`encode_batch`."""
     ndocs = len(lens)
-    sdt = np.int32 if mask.dtype.itemsize == 4 else np.int64
+    sdt = SIGNED_DT[mask.dtype.itemsize]
     lens = np.asarray(lens, np.int64)
     nfull = lens // v
     tail_len = lens % v
@@ -416,7 +426,7 @@ def decode_ibp(df: DataFrame, params: IbpParams,
                 "source": pdf["source"],
             })
 
-    elem = "int" if params.item_bytes == 4 else "bigint"
+    elem = {1: "tinyint", 2: "smallint", 4: "int", 8: "bigint"}[params.item_bytes]
     schema = f"doc_id string, tokens array<{elem}>, n_tok int, source string"
     return df.select("doc_id", "n_blocks", "block_sizes", "block_flags",
                      "payload", "n_tok", "source").mapInPandas(decoder, schema=schema)

@@ -40,7 +40,21 @@ from ..codecs.lightweight import _scatter_rows
 from ..codecs.numpy_ref import popcount32
 from .framing import (FramedBatch, VEC_SIZE, frame_batch, gather_ranges,
                       split_by_token_mass, unframe_batch)
-from .ibp import IbpParams
+from .ibp import IbpParams, _elem_bytes
+
+
+def _require_int32_kmeans(df: DataFrame, tokens_col: str, op: str) -> None:
+    """The clustered codec is 32-bit throughout (uint32 centroids,
+    popcount32 Hamming distance — matching the reference's kmeans
+    preprocessing, which only instantiates on 4-byte words,
+    ibp_preproc_host.cuh:118-284).  frame_batch would silently truncate
+    wider elements, so refuse them here; 64-bit input goes through the
+    pure-IBP path (encode_ibp/decode_ibp handle array<bigint>)."""
+    if _elem_bytes(df, tokens_col) != 4:
+        raise ValueError(
+            f"{op}: tokens column must be array<int> — the kmeans codec "
+            "clusters 32-bit words; use encode_ibp/decode_ibp for wider "
+            "elements")
 
 
 @dataclass
@@ -93,6 +107,7 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
                  threshold: float | None = None,
                  sample_fraction: float | None = None,
                  seed: int = 42) -> KmeansParams:
+    _require_int32_kmeans(df, tokens_col, "learn_kmeans")
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
     # The Lloyd loop makes iters+2 distributed passes; persist the
@@ -268,6 +283,7 @@ def encode_ibp_kmeans(df: DataFrame, kp: KmeansParams,
                       tokens_col: str = "tokens") -> DataFrame:
     """Per-block cluster assignment + per-cluster (mask, bitval) encode;
     cluster ids stored as one u8 per block (``block_clusters``)."""
+    _require_int32_kmeans(df, tokens_col, "encode_ibp_kmeans")
     v = kp.vec_size
     cents, masks, bitvals = kp.centroids, kp.masks, kp.bitvals
 

@@ -76,3 +76,24 @@ def test_kmeans_encode_handles_empty_and_null_docs(spark):
            .collect()}
     assert dec["empty"] == [] and dec["null"] == []
     assert dec["d000"] == rows[0][1]
+
+
+def test_kmeans_refuses_non_int32_tokens(spark):
+    """The clustered codec is 32-bit (uint32 centroids); array<bigint>
+    input must be rejected, not silently truncated (2**40+5 would
+    otherwise encode as 5)."""
+    import pytest
+
+    from invariantbitpacking_spark.operators import kmeans as km
+
+    rows = [(f"d{i}", [(1 << 40) + 5] * 64, 64, "s") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<bigint>, n_tok int, source string")
+    with pytest.raises(ValueError, match="array<int>"):
+        km.learn_kmeans(df, k=2, iters=1, vec_size=16)
+    kp = km.KmeansParams(
+        centroids=__import__("numpy").zeros((2, 16), "uint32"),
+        masks=__import__("numpy").zeros((2, 16), "uint32"),
+        bitvals=__import__("numpy").zeros((2, 16), "uint32"), vec_size=16)
+    with pytest.raises(ValueError, match="array<int>"):
+        km.encode_ibp_kmeans(df, kp)

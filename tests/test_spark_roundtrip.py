@@ -195,3 +195,42 @@ def test_int64_distributed_roundtrip_and_compression(spark):
     # lineage round-trip of 64-bit params
     p2 = ibp.IbpParams.from_dict(params.to_dict())
     assert (p2.mask == params.mask).all() and p2.item_bytes == 8
+
+
+def test_int16_and_int8_distributed_roundtrip(spark):
+    """1- and 2-byte element widths end-to-end (reference preprocess
+    dtype dispatch int8/int16, src/preprocess.cu:25-26, 56-72): learned
+    params carry uint16/uint8 masks, the decode schema mirrors the
+    input element type, and payloads round-trip bit-identical."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    for elem, np_dt, hi, want_ib in [("smallint", np.int16, 4096, 2),
+                                     ("tinyint", np.int8, 64, 1)]:
+        rows = []
+        for i in range(60):
+            n = int(rng.integers(5, 200))
+            rows.append((f"d{i:03d}",
+                         rng.integers(0, hi, n).astype(np_dt).tolist(),
+                         n, "sN"))
+        rows.append(("empty", [], 0, "sN"))
+        df = spark.createDataFrame(
+            rows, f"doc_id string, tokens array<{elem}>, n_tok int, "
+                  "source string")
+        params = ibp.learn_params(df)
+        assert params.item_bytes == want_ib
+        assert params.mask.dtype.itemsize == want_ib
+        enc = ibp.encode_ibp(df, params)
+        agg = enc.agg(F.sum("comp_bytes"), F.sum("raw_bytes")).collect()[0]
+        assert agg[1] == sum(r[2] for r in rows) * want_ib
+        assert agg[0] <= agg[1]  # never expands
+        dec = ibp.decode_ibp(enc, params)
+        assert dict(dec.dtypes)["tokens"] == f"array<{elem}>"
+        bad = (df.alias("a").join(dec.alias("b"), "doc_id")
+               .filter(~(F.col("a.tokens").eqNullSafe(F.col("b.tokens"))) &
+                       ~(F.size("a.tokens") == 0)).count())
+        assert bad == 0
+        # params survive lineage serialization at narrow widths too
+        p2 = ibp.IbpParams.from_dict(params.to_dict())
+        assert (p2.mask == params.mask).all()
+        assert p2.item_bytes == want_ib
