@@ -33,14 +33,46 @@ def _row_of(lens: np.ndarray) -> np.ndarray:
 def _scatter_rows(out: np.ndarray, dst_starts: np.ndarray,
                   src_flat: np.ndarray, src_lens: np.ndarray) -> None:
     """out[dst_starts[r] : +src_lens[r]] = row r of src_flat (rows
-    back-to-back), vectorized."""
-    total = int(np.asarray(src_lens).sum())
+    back-to-back).
+
+    Adaptive: tiny rows use one vectorized index build (per-row Python
+    would dominate); large rows use a per-row slice-assignment loop —
+    each iteration is a pure C memcpy, and the vectorized path's int64
+    index arrays would move ~40x the payload bytes in index traffic."""
+    src_lens = np.asarray(src_lens, np.int64)
+    dst_starts = np.asarray(dst_starts, np.int64)
+    total = int(src_lens.sum())
     if total == 0:
         return
-    tgt = gather_ranges(np.arange(out.size, dtype=np.int64),
-                        np.asarray(dst_starts, np.int64),
-                        np.asarray(src_lens, np.int64))
-    out[tgt] = src_flat[:total]
+    nz = src_lens > 0
+    if not nz.all():
+        dst_starts, src_lens = dst_starts[nz], src_lens[nz]
+    # coalesce adjacent runs (src is back-to-back by contract, so runs
+    # merge whenever dst is contiguous — e.g. consecutive blocks of the
+    # same document collapse to one per-doc run)
+    if len(src_lens) > 1:
+        brk = np.ones(len(src_lens), bool)
+        brk[1:] = dst_starts[1:] != dst_starts[:-1] + src_lens[:-1]
+        if not brk.all():
+            bidx = np.flatnonzero(brk)
+            src_off = np.cumsum(src_lens) - src_lens
+            dst_starts = dst_starts[bidx]
+            src_lens = np.add.reduceat(src_lens, bidx)
+    if total >= len(src_lens) * 1024:
+        src_off = np.cumsum(src_lens) - src_lens
+        for d, s, n in zip(dst_starts.tolist(), src_off.tolist(),
+                           src_lens.tolist()):
+            out[d:d + n] = src_flat[s:s + n]
+        return
+    # target indices built directly (cumsum over per-position deltas):
+    # O(total scattered), never O(out.size)
+    out_pos = np.cumsum(src_lens) - src_lens
+    idx = np.ones(total, np.int64)
+    idx[0] = dst_starts[0]
+    if len(dst_starts) > 1:
+        idx[out_pos[1:]] = (dst_starts[1:]
+                            - (dst_starts[:-1] + src_lens[:-1]) + 1)
+    out[np.cumsum(idx)] = src_flat[:total]
 
 
 def _pack_grouped(flat_vals: np.ndarray, lens: np.ndarray,

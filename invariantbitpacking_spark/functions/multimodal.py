@@ -78,6 +78,40 @@ def _parse_header(payload: bytes):
     return kind, 0, 0, fr, sr, payload[11:]
 
 
+def _parse_headers_batch(payloads):
+    """Vectorized header parse for one Arrow batch of FAKE containers:
+    one buffer concat + fixed-offset arithmetic — no per-asset Python
+    (headers are fixed-width after the magic, so every field is a
+    strided u8 gather).  Returns (flat u8, starts, sizes, kind, w, h,
+    frames, sample_rate); body of asset i is flat[starts[i]+11 :
+    starts[i]+sizes[i]]."""
+    n = len(payloads)
+    sizes = np.fromiter((len(p) for p in payloads), np.int64, count=n)
+    flat = np.frombuffer(b"".join(payloads), np.uint8)
+    starts = np.cumsum(sizes) - sizes
+    magic = np.frombuffer(MAGIC, np.uint8)
+    if n and not (flat[starts[:, None] + np.arange(4)] ==
+                  magic[None, :]).all():
+        raise NotImplementedError(
+            "real media decoding is stubbed in this environment; "
+            "only the deterministic FAKE container is parseable")
+    kind = flat[starts + 4].astype(np.int64) if n else np.zeros(0, np.int64)
+
+    def u16(off):
+        return (flat[starts + off].astype(np.int64)
+                | (flat[starts + off + 1].astype(np.int64) << 8))
+
+    z = np.zeros(0, np.int64)
+    if not n:
+        return flat, starts, sizes, kind, z, z, z, z.copy()
+    imgvid = kind != 1
+    w = np.where(imgvid, u16(5), 0)
+    h = np.where(imgvid, u16(7), 0)
+    frames = u16(9)  # u16 at offset 9 in every container kind
+    sr = np.where(imgvid, 0, u16(5) | (u16(7) << 16))
+    return flat, starts, sizes, kind, w, h, frames, sr
+
+
 def decode_and_featurize(assets: DataFrame, feat_dim: int = 16) -> DataFrame:
     """Decode (stub) + per-asset feature extraction as one Arrow-batched
     ``mapInPandas``: bodies become numpy arrays, features are
@@ -85,23 +119,29 @@ def decode_and_featurize(assets: DataFrame, feat_dim: int = 16) -> DataFrame:
     batch shape a real embedding model UDF would have)."""
 
     def fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.framing import gather_ranges
+
         for pdf in batches:
-            feats, ok_w, ok_h, n_bytes = [], [], [], []
-            for payload in pdf["payload"].values:
-                kind, w, h, fr, sr, body = _parse_header(bytes(payload))
-                arr = np.frombuffer(body, np.uint8)
-                hist = np.bincount(arr % feat_dim, minlength=feat_dim)
-                feats.append((hist / max(arr.size, 1)).astype(np.float32))
-                ok_w.append(w)
-                ok_h.append(h)
-                n_bytes.append(arr.size)
+            n = len(pdf)
+            flat, starts, sizes, kind, w, h, fr, sr = _parse_headers_batch(
+                list(pdf["payload"].values))
+            body_len = sizes - 11
+            # all bodies' histograms in ONE bincount over a combined
+            # (asset, byte % feat_dim) key — no per-asset Python
+            body = gather_ranges(flat, starts + 11, body_len)
+            asset_of = np.repeat(np.arange(n), body_len)
+            key = asset_of * feat_dim + (body % feat_dim)
+            hist = np.bincount(key, minlength=n * feat_dim).reshape(
+                n, feat_dim) if n else np.zeros((0, feat_dim), np.int64)
+            feats = (hist / np.maximum(body_len, 1)[:, None]).astype(
+                np.float32)
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
                 "kind": pdf["kind"],
-                "decoded_w": pd.array(ok_w, dtype="int32"),
-                "decoded_h": pd.array(ok_h, dtype="int32"),
-                "body_bytes": pd.array(n_bytes, dtype="int64"),
-                "features": feats,
+                "decoded_w": pd.array(w.astype("int32"), dtype="int32"),
+                "decoded_h": pd.array(h.astype("int32"), dtype="int32"),
+                "body_bytes": pd.array(body_len, dtype="int64"),
+                "features": list(feats),
             })
 
     schema = ("asset_id string, kind string, decoded_w int, decoded_h int, "
@@ -115,21 +155,30 @@ def sample_video_frames(assets: DataFrame, every: int = 2) -> DataFrame:
     extractor)."""
 
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..operators.framing import gather_ranges
+
         for pdf in batches:
-            ids, fidx, frames = [], [], []
-            for asset_id, payload in zip(pdf["asset_id"].values,
-                                         pdf["payload"].values):
-                kind, w, h, fr, _, body = _parse_header(bytes(payload))
-                if kind != 2:
-                    continue
-                arr = np.frombuffer(body, np.uint8).reshape(fr, h * w)
-                for i in range(0, fr, every):
-                    ids.append(asset_id)
-                    fidx.append(i)
-                    frames.append(arr[i].tobytes())
-            yield pd.DataFrame({"asset_id": ids,
-                                "frame_idx": pd.array(fidx, dtype="int32"),
-                                "frame": frames})
+            flat, starts, sizes, kind, w, h, fr, _ = _parse_headers_batch(
+                list(pdf["payload"].values))
+            vsel = np.flatnonzero(kind == 2)
+            wh = (w * h)[vsel]
+            nkeep = -(-fr[vsel] // every)
+            # kept-frame table: one repeat + offset arithmetic, then one
+            # gather of every kept frame's bytes (no per-video Python)
+            vid_of = np.repeat(np.arange(vsel.size), nkeep)
+            keep_start = np.cumsum(nkeep) - nkeep
+            fidx = (np.arange(int(nkeep.sum()))
+                    - np.repeat(keep_start, nkeep)) * every
+            fstarts = starts[vsel][vid_of] + 11 + fidx * wh[vid_of]
+            flens = wh[vid_of]
+            buf = gather_ranges(flat, fstarts, flens)
+            boff = np.cumsum(flens) - flens
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"].values[vsel][vid_of],
+                "frame_idx": pd.array(fidx.astype("int32"), dtype="int32"),
+                "frame": [buf[o:o + m].tobytes()
+                          for o, m in zip(boff.tolist(), flens.tolist())],
+            })
 
     return assets.select("asset_id", "payload").mapInPandas(
         fs, schema="asset_id string, frame_idx int, frame binary")

@@ -60,10 +60,14 @@ def split_by_token_mass(pdf, tokens_col: str = "tokens",
 
 def gather_ranges(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
     """Concatenate flat[starts[i] : starts[i]+lengths[i]] for all i —
-    vectorized variable-length gather (no per-range Python).  The index
-    vector is built as a cumsum over per-position deltas (ones within a
-    range, a jump at each range boundary): one pass, no repeat/arange
-    temporaries."""
+    variable-length gather.
+
+    Adaptive: tiny ranges use one vectorized index build (a cumsum over
+    per-position deltas: ones within a range, a jump at each boundary —
+    per-range Python would dominate); large ranges use a per-range
+    slice-copy loop, where each iteration is a pure C memcpy and the
+    vectorized path's int64 index arrays would move ~8-40x the payload
+    bytes in index traffic."""
     lengths = np.asarray(lengths, np.int64)
     starts = np.asarray(starts, np.int64)
     total = int(lengths.sum())
@@ -72,6 +76,21 @@ def gather_ranges(flat: np.ndarray, starts: np.ndarray, lengths: np.ndarray) -> 
     nz = lengths > 0
     if not nz.all():
         starts, lengths = starts[nz], lengths[nz]
+    # coalesce adjacent ranges (flat[s:s+n] runs merge when contiguous)
+    if len(lengths) > 1:
+        brk = np.ones(len(lengths), bool)
+        brk[1:] = starts[1:] != starts[:-1] + lengths[:-1]
+        if not brk.all():
+            bidx = np.flatnonzero(brk)
+            starts = starts[bidx]
+            lengths = np.add.reduceat(lengths, bidx)
+    if total * flat.dtype.itemsize >= len(lengths) * 1024:
+        out = np.empty(total, flat.dtype)
+        out_pos = np.cumsum(lengths) - lengths
+        for d, s, n in zip(out_pos.tolist(), starts.tolist(),
+                           lengths.tolist()):
+            out[d:d + n] = flat[s:s + n]
+        return out
     out_pos = np.cumsum(lengths) - lengths
     idx = np.ones(total, np.int64)
     idx[0] = starts[0]

@@ -250,44 +250,79 @@ ENCODED_SCHEMA = (
 )
 
 
-def encode_batch(fb: FramedBatch, mask: np.ndarray, bitval: np.ndarray):
-    """Encode one framed batch; returns per-doc (payloads bytes list,
-    block_sizes list, block_flags bytes list, comp_bytes int64[])."""
-    v = fb.vec_size
-    ndocs = len(fb.lens)
-    flat_full, sizes_full, comp_full = nr.encode_concat(
-        fb.full_mat, mask, bitval)
-    full_byte_off = np.concatenate([[0], np.cumsum(sizes_full)])
-    full_start = np.cumsum(fb.nfull) - fb.nfull
+def encode_batch_flat(fb: FramedBatch, mask: np.ndarray, bitval: np.ndarray):
+    """Encode one framed batch into ONE doc-major buffer (no per-doc
+    Python in the byte assembly — every phase is a vectorized scatter).
 
-    tail_payload: list = [b""] * ndocs
-    tail_size = np.zeros(ndocs, np.int64)
-    tail_comp = np.zeros(ndocs, bool)
+    Returns ``(buf, doc_bytes, sizes, flags_packed, flag_nbytes)``:
+    ``buf`` uint8 holds every doc's blocks back-to-back doc-major,
+    ``doc_bytes`` int64[ndocs] each doc's payload span in ``buf``,
+    ``sizes`` int64[sum(nblocks)] the flat doc-major per-block byte
+    sizes, ``flags_packed`` uint8 the per-doc byte-padded LSB-first
+    compressed bitmaps back-to-back, ``flag_nbytes`` int64[ndocs] each
+    doc's bitmap width in ``flags_packed``."""
+    from ..codecs.lightweight import _scatter_rows
+
+    ndocs = len(fb.lens)
+    nb_tot = int(fb.nblocks.sum())
+    blk_start = np.cumsum(fb.nblocks) - fb.nblocks
+    sizes = np.zeros(nb_tot, np.int64)
+    is_comp = np.zeros(nb_tot, bool)
+    pending: list[tuple] = []  # (global block ids, group blob, sizes)
+    if fb.full_mat.shape[0]:
+        flat_full, sizes_full, comp_full = nr.encode_concat(
+            fb.full_mat, mask, bitval)
+        doc_of_full = np.repeat(np.arange(ndocs), fb.nfull)
+        within = (np.arange(fb.full_mat.shape[0])
+                  - np.repeat(np.cumsum(fb.nfull) - fb.nfull, fb.nfull))
+        gidx = blk_start[doc_of_full] + within
+        sizes[gidx] = sizes_full
+        is_comp[gidx] = comp_full
+        pending.append((gidx, flat_full, sizes_full))
     for L, (mat, docs) in fb.tails.items():
         tflat, tsizes, tcomp = nr.encode_concat(mat, mask[:L], bitval[:L])
-        toff = np.concatenate([[0], np.cumsum(tsizes)])
-        for k, d in enumerate(docs):
-            tail_payload[d] = tflat[toff[k]:toff[k + 1]]
-        tail_size[docs] = tsizes
-        tail_comp[docs] = tcomp
+        gidx = blk_start[docs] + fb.nblocks[docs] - 1
+        sizes[gidx] = tsizes
+        is_comp[gidx] = tcomp
+        pending.append((gidx, tflat, tsizes))
+    offsets = np.cumsum(sizes) - sizes
+    buf = np.zeros(int(sizes.sum()), np.uint8)
+    for gidx, flat, sz in pending:
+        _scatter_rows(buf, offsets[gidx], flat, sz)
+    # blocks are doc-major, so each doc's payload is one contiguous span
+    doc_bytes = np.add.reduceat(
+        np.append(sizes, 0), np.minimum(blk_start, nb_tot)) * (fb.nblocks > 0)
+    # per-doc byte-padded flag bitmaps packed in ONE packbits call
+    flag_bits = ((fb.nblocks + 7) // 8) * 8
+    fbit_start = np.cumsum(flag_bits) - flag_bits
+    bigbits = np.zeros(int(flag_bits.sum()), np.uint8)
+    if nb_tot:
+        within_all = np.arange(nb_tot) - np.repeat(blk_start, fb.nblocks)
+        bigbits[np.repeat(fbit_start, fb.nblocks) + within_all] = is_comp
+    flags_packed = np.packbits(bigbits, bitorder="little")
+    return buf, doc_bytes.astype(np.int64), sizes, flags_packed, flag_bits // 8
 
-    payloads, bsizes, bflags = [], [], []
-    comp_bytes = np.zeros(ndocs, np.int64)
-    for i in range(ndocs):
-        f0, f1 = int(full_start[i]), int(full_start[i] + fb.nfull[i])
-        fseg = flat_full[full_byte_off[f0]:full_byte_off[f1]]
-        sz = sizes_full[f0:f1]
-        fl = comp_full[f0:f1]
-        if fb.tail_len[i]:
-            payloads.append(fseg.tobytes() + tail_payload[i].tobytes())
-            bsizes.append(np.append(sz, tail_size[i]).astype(np.int32))
-            fl = np.append(fl, tail_comp[i])
-        else:
-            payloads.append(fseg.tobytes())
-            bsizes.append(sz.astype(np.int32))
-        bflags.append(np.packbits(fl.astype(np.uint8), bitorder="little").tobytes())
-        comp_bytes[i] = int(bsizes[-1].sum())
-    return payloads, bsizes, bflags, comp_bytes
+
+def encode_batch(fb: FramedBatch, mask: np.ndarray, bitval: np.ndarray):
+    """Encode one framed batch; returns per-doc (payloads bytes list,
+    block_sizes list, block_flags bytes list, comp_bytes int64[]).
+    All byte assembly happens in :func:`encode_batch_flat`; the per-doc
+    loop below only slices contiguous spans (O(ndocs) cheap slicing,
+    no per-doc numpy work — the offset-table assembly the reference's
+    condensed layout implies, src/compress.cu:284-285)."""
+    if len(fb.lens) == 0:
+        return [], [], [], np.zeros(0, np.int64)
+    buf, doc_bytes, sizes, flags_packed, flag_nbytes = encode_batch_flat(
+        fb, mask, bitval)
+    doc_off = np.cumsum(doc_bytes) - doc_bytes
+    flag_off = np.cumsum(flag_nbytes) - flag_nbytes
+    payloads = [buf[o:o + n].tobytes()
+                for o, n in zip(doc_off.tolist(), doc_bytes.tolist())]
+    bsizes = np.split(sizes.astype(np.int32),
+                      np.cumsum(fb.nblocks[:-1]).tolist())
+    bflags = [flags_packed[o:o + n].tobytes()
+              for o, n in zip(flag_off.tolist(), flag_nbytes.tolist())]
+    return payloads, bsizes, bflags, doc_bytes
 
 
 def encode_ibp(df: DataFrame, params: IbpParams,

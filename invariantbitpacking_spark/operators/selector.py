@@ -27,7 +27,7 @@ from ..codecs import lightweight as lw
 from ..codecs.bitutil import width_for
 from .framing import frame_batch, gather_ranges, split_by_token_mass
 from .ibp import (ENCODED_SCHEMA, IbpParams, _elem_bytes, decode_docs,
-                  encode_batch, predict_sizes_ibp)
+                  encode_batch_flat, predict_sizes_ibp)
 
 
 def _require_int32(df: DataFrame, tokens_col: str, op: str) -> None:
@@ -115,11 +115,21 @@ def encode_docs_auto(token_arrays, params: IbpParams,
 
     Returns (codec_names list[str], payloads list[bytes], block_sizes
     list[np.int32 array], block_flags list[bytes], comp_bytes int64[],
-    lens int64[], nblocks int64[])."""
+    lens int64[], nblocks int64[]).
+
+    Assembly is fully vectorized: every codec group encodes into a flat
+    blob, blobs land in ONE doc-major output buffer via offset-table
+    scatters, and per-doc values (payload, block sizes, flag bitmap)
+    come out as contiguous-span slices — no per-document numpy work
+    (the condensed-offsets shape of the reference's scan,
+    src/compress.cu:284-285, generalized to a mixed-codec row group)."""
     v = params.vec_size
     fb = frame_batch(token_arrays, v)
     lens = fb.lens
     ndocs = len(lens)
+    if ndocs == 0:
+        z = np.zeros(0, np.int64)
+        return [], [], [], [], z, lens, z
     starts = np.cumsum(lens) - lens
     flat = (np.concatenate([np.asarray(a, np.int32) for a in token_arrays
                             if a is not None])
@@ -127,47 +137,67 @@ def encode_docs_auto(token_arrays, params: IbpParams,
     sizes = predict_sizes(flat, lens, fb, params)
     pick = choose_codec(sizes, allowed)
 
-    payloads: list = [b""] * ndocs
-    bsizes: list = [None] * ndocs
-    bflags: list = [b""] * ndocs
-    comp_bytes = np.zeros(ndocs, np.int64)
-    nblocks_out = np.zeros(ndocs, np.int64)
-    codec_names = [""] * ndocs
+    pbytes = np.zeros(ndocs, np.int64)       # payload bytes per doc
+    nblocks_out = np.ones(ndocs, np.int64)   # single-block except ibp
+    fnbytes = np.ones(ndocs, np.int64)       # flag-bitmap bytes per doc
+    flag_const = np.zeros(ndocs, np.uint8)   # 0x00 raw / 0x01 lw codecs
+    pend: list[tuple] = []                   # (docs, blob, per-doc sizes)
+    ibp_blocks = None                        # (docs, bsz_flat, nb, flags, fnb)
 
     for ci, codec in enumerate(CODEC_ORDER):
         docs = np.flatnonzero(pick == ci)
         if docs.size == 0:
             continue
         if codec == "ibp":
-            sub_fb = frame_batch([token_arrays[i] for i in docs], v)  # frame_batch null-safe
-            p, bs, bf, cb = encode_batch(sub_fb, params.mask, params.bitval)
-            for k, dI in enumerate(docs):
-                payloads[dI], bsizes[dI], bflags[dI] = p[k], bs[k], bf[k]
-            comp_bytes[docs] = cb
+            sub_fb = frame_batch([token_arrays[i] for i in docs], v)
+            buf, doc_bytes, bsz_flat, flags_packed, flag_nb = (
+                encode_batch_flat(sub_fb, params.mask, params.bitval))
+            pbytes[docs] = doc_bytes
             nblocks_out[docs] = sub_fb.nblocks
+            fnbytes[docs] = flag_nb
+            pend.append((docs, buf, doc_bytes))
+            ibp_blocks = (docs, bsz_flat, sub_fb.nblocks,
+                          flags_packed, flag_nb)
         elif codec == "raw":
-            for dI in docs:
-                a = token_arrays[dI]
-                arr = np.asarray(a if a is not None else [], np.int32)
-                payloads[dI] = arr.astype("<i4").tobytes()
-                bsizes[dI] = np.array([arr.size * 4], np.int32)
-                bflags[dI] = b"\x00"
-            comp_bytes[docs] = 4 * lens[docs]
-            nblocks_out[docs] = 1
+            sub = gather_ranges(flat, starts[docs], lens[docs])
+            blob = np.ascontiguousarray(sub.astype("<u4")).view(np.uint8)
+            pbytes[docs] = 4 * lens[docs]
+            pend.append((docs, blob, 4 * lens[docs]))
         else:
             sub_flat = gather_ranges(flat, starts[docs], lens[docs])
-            enc = getattr(lw, f"encode_{codec}")
-            blob, bsz = enc(sub_flat, lens[docs])
-            boff = np.cumsum(bsz) - bsz
-            for k, dI in enumerate(docs):
-                payloads[dI] = blob[boff[k]:boff[k] + bsz[k]].tobytes()
-                bsizes[dI] = np.array([bsz[k]], np.int32)
-                bflags[dI] = b"\x01"
-            comp_bytes[docs] = bsz
-            nblocks_out[docs] = 1
-        for dI in docs:
-            codec_names[dI] = codec
-    return codec_names, payloads, bsizes, bflags, comp_bytes, lens, nblocks_out
+            blob, bsz = getattr(lw, f"encode_{codec}")(sub_flat, lens[docs])
+            pbytes[docs] = bsz
+            flag_const[docs] = 1
+            pend.append((docs, np.asarray(blob, np.uint8), bsz))
+
+    # one doc-major payload buffer; each group scatters once
+    doc_off = np.cumsum(pbytes) - pbytes
+    out = np.zeros(int(pbytes.sum()), np.uint8)
+    for docs, blob, dsz in pend:
+        lw._scatter_rows(out, doc_off[docs], blob, dsz)
+
+    # flat block-size table: single-block docs carry their payload
+    # bytes; ibp docs scatter their per-block sizes
+    blk_start = np.cumsum(nblocks_out) - nblocks_out
+    bsz_all = np.zeros(int(nblocks_out.sum()), np.int64)
+    bsz_all[blk_start] = pbytes  # single-block default (overwritten below)
+    # flat per-doc flag bitmaps: constants for single-block codecs
+    flag_off = np.cumsum(fnbytes) - fnbytes
+    flags_all = np.zeros(int(fnbytes.sum()), np.uint8)
+    flags_all[flag_off] = flag_const
+    if ibp_blocks is not None:
+        docs, bsz_flat, nb, flags_packed, flag_nb = ibp_blocks
+        lw._scatter_rows(bsz_all, blk_start[docs], bsz_flat, nb)
+        lw._scatter_rows(flags_all, flag_off[docs], flags_packed, flag_nb)
+
+    payloads = [out[o:o + n].tobytes()
+                for o, n in zip(doc_off.tolist(), pbytes.tolist())]
+    bsizes = np.split(bsz_all.astype(np.int32),
+                      np.cumsum(nblocks_out[:-1]).tolist())
+    bflags = [flags_all[o:o + n].tobytes()
+              for o, n in zip(flag_off.tolist(), fnbytes.tolist())]
+    codec_names = np.array(CODEC_ORDER, object)[pick].tolist()
+    return codec_names, payloads, bsizes, bflags, pbytes, lens, nblocks_out
 
 
 def total_of(lens) -> int:
@@ -278,9 +308,12 @@ def decode_auto(df: DataFrame, params: IbpParams,
                     for k, dI in enumerate(docs):
                         toks[dI] = sub[k]
                 elif codec == "raw":
-                    for dI in docs:
-                        toks[dI] = np.frombuffer(
-                            pdf["payload"].values[dI], "<i4").astype(np.int32)
+                    vals = np.frombuffer(
+                        b"".join(pdf["payload"].values[i] for i in docs),
+                        "<i4").astype(np.int32)
+                    voff = np.cumsum(lens[docs]) - lens[docs]
+                    for k, dI in enumerate(docs):
+                        toks[dI] = vals[voff[k]:voff[k] + lens[dI]]
                 else:
                     blob = np.frombuffer(
                         b"".join(pdf["payload"].values[i] for i in docs),
