@@ -75,11 +75,27 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
 
     Skew guard: a bucket with more than ``bucket_cap`` members (the
     boilerplate/exact-duplicate case — k identical documents collide in
-    every band, k^2/2 pairs in one task) switches from all-pairs to
-    star linking against the bucket's min doc_id: k-1 candidate pairs,
-    same connected components for dedup, bounded task size.  Candidates
-    are then verified with array_intersect on the exact shingle sets,
-    so emitted jaccard values are exact either way."""
+    every band, k^2/2 pairs in one task) switches from all-pairs to a
+    two-wave star scheme with bounded task size:
+
+    1. every member is candidate-paired with the bucket's min doc_id
+       (the hub) — k-1 pairs — and exactly verified;
+    2. members whose hub pair FAILED verification retry as a group:
+       all-pairs if at most ``bucket_cap`` of them, else a second star
+       around the failed group's min doc_id.
+
+    Exact-duplicate clusters resolve in wave 1; mixed big buckets
+    recover hub-dissimilar near-dup pairs in wave 2.  Precise residual
+    caveat: a near-dup pair (x, y) where x passes hub verification but
+    y fails is linked only if it also collides in some small bucket or
+    wave-2 group — emitted pairs are always exact and never false, but
+    big-bucket recall for such boundary pairs is not guaranteed.
+
+    Verification pushes the shingle-set SIZES down before shipping the
+    sets: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs that cannot
+    reach the threshold are pruned from the array join exactly (no
+    recall loss); the remaining skewed hub keys are AQE skew-join
+    territory."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(docs, num_hashes, shingle_n)
     band_cols = [
@@ -101,25 +117,58 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
                          & (F.col("a.doc_id") < F.col("b.doc_id")))
                    .select(F.col("a.doc_id").alias("doc_a"),
                            F.col("b.doc_id").alias("doc_b")))
-    pairs_big = (b2.filter((F.col("bn") > bucket_cap)
-                           & (F.col("doc_id") != F.col("hub")))
+    bigm = b2.filter(F.col("bn") > bucket_cap)
+    pairs_hub = (bigm.filter(F.col("doc_id") != F.col("hub"))
                  .select(F.col("hub").alias("doc_a"),
                          F.col("doc_id").alias("doc_b")))
-    cand = pairs_small.union(pairs_big).distinct()
-    # exact verification reads a lean (doc_id, shingles) projection —
-    # recomputed from source with pushdown, nothing cached to leak
-    sh = sig.select("doc_id", "shingles")
-    withsets = (cand
-                .join(sh.select(F.col("doc_id").alias("doc_a"),
-                                F.col("shingles").alias("sh_a")), "doc_a")
-                .join(sh.select(F.col("doc_id").alias("doc_b"),
-                                F.col("shingles").alias("sh_b")), "doc_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    return (withsets
-            .select("doc_a", "doc_b",
-                    (inter / union).alias("jaccard"))
-            .filter(F.col("jaccard") >= jaccard_threshold))
+
+    # exact verification reads a lean (doc_id, shingles, size)
+    # projection — recomputed from source with pushdown, nothing cached
+    sh = sig.select("doc_id", "shingles", F.size("shingles").alias("n_sh"))
+
+    def verify(cand: DataFrame) -> DataFrame:
+        """Exact jaccard for candidate pairs; shingle-set sizes ride
+        the same join, and the size-ratio bound prunes hopeless pairs
+        before the O(n log n) intersect."""
+        withsets = (cand
+                    .join(sh.select(F.col("doc_id").alias("doc_a"),
+                                    F.col("shingles").alias("sh_a"),
+                                    F.col("n_sh").alias("na")), "doc_a")
+                    .join(sh.select(F.col("doc_id").alias("doc_b"),
+                                    F.col("shingles").alias("sh_b"),
+                                    F.col("n_sh").alias("nb")), "doc_b")
+                    .filter(F.least("na", "nb")
+                            >= jaccard_threshold * F.greatest("na", "nb")))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.col("na") + F.col("nb") - inter
+        return (withsets
+                .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+                .filter(F.col("jaccard") >= jaccard_threshold))
+
+    ok_small = verify(pairs_small.distinct())
+    ok_hub = verify(pairs_hub.distinct())
+    # wave 2: big-bucket members whose hub link failed verification
+    failed = (bigm.filter(F.col("doc_id") != F.col("hub"))
+              .join(ok_hub.select(F.col("doc_a").alias("hub"),
+                                  F.col("doc_b").alias("doc_id")),
+                    ["hub", "doc_id"], "left_anti"))
+    fsizes = failed.groupBy("band", "bh").agg(
+        F.count(F.lit(1)).alias("fn"), F.min("doc_id").alias("hub2"))
+    f2 = failed.join(fsizes, ["band", "bh"])
+    fs = f2.filter(F.col("fn") <= bucket_cap)
+    retry_small = (fs.alias("a")
+                   .join(fs.alias("b"),
+                         (F.col("a.band") == F.col("b.band"))
+                         & (F.col("a.bh") == F.col("b.bh"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id")))
+                   .select(F.col("a.doc_id").alias("doc_a"),
+                           F.col("b.doc_id").alias("doc_b")))
+    retry_big = (f2.filter((F.col("fn") > bucket_cap)
+                           & (F.col("doc_id") != F.col("hub2")))
+                 .select(F.col("hub2").alias("doc_a"),
+                         F.col("doc_id").alias("doc_b")))
+    ok_retry = verify(retry_small.union(retry_big).distinct())
+    return ok_small.union(ok_hub).union(ok_retry).distinct()
 
 
 FNV_BASIS = np.uint64(0xCBF29CE484222325)
@@ -127,26 +176,32 @@ FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def fnv1a64_words(words: np.ndarray) -> np.ndarray:
-    """Vectorized FNV-1a 64-bit over an array of strings: the words are
-    laid out as one padded byte matrix and hashed with a column sweep —
-    the only loop is over the max word length (a small constant), never
-    over words or documents.  Bit-identical to the scalar
-    ``h = (h ^ byte) * prime mod 2^64`` chain over UTF-8 bytes."""
+    """Vectorized FNV-1a 64-bit over an array of strings, hashed with a
+    column sweep over one flat byte buffer — the only Python-level loop
+    is over the max word length (a small constant), never over words or
+    documents.  Bit-identical to the scalar
+    ``h = (h ^ byte) * prime mod 2^64`` chain over UTF-8 bytes.
+
+    Bytes stay in Python ``bytes`` objects + a flat uint8 buffer, never
+    numpy U/S string dtypes: their fixed-width storage silently drops
+    TRAILING NUL bytes, so words ending in NUL would hash as if
+    truncated (per-element encode/len here are pandas/C-level calls)."""
     w = len(words)
     if w == 0:
         return np.zeros(0, np.uint64)
-    enc = np.char.encode(words.astype(str), "utf-8")  # S-dtype, padded
-    maxlen = enc.dtype.itemsize
+    enc = pd.Series(words, dtype=object).str.encode("utf-8").values
+    byte_lens = np.fromiter((len(b) for b in enc), np.int64, count=w)
     h = np.full(w, FNV_BASIS, np.uint64)
-    if maxlen == 0:
+    if int(byte_lens.sum()) == 0:
         return h
-    mat = enc.view(np.uint8).reshape(w, maxlen)
-    byte_lens = np.char.str_len(enc)
-    for j in range(maxlen):
+    flat = np.frombuffer(b"".join(enc), np.uint8)
+    starts = np.cumsum(byte_lens) - byte_lens
+    for j in range(int(byte_lens.max())):
         act = byte_lens > j
         if not act.any():
             break
-        h[act] = (h[act] ^ mat[act, j].astype(np.uint64)) * FNV_PRIME
+        h[act] = ((h[act] ^ flat[starts[act] + j].astype(np.uint64))
+                  * FNV_PRIME)
     return h
 
 
@@ -399,10 +454,14 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
     :func:`minhash_lsh_pairs`: random-hyperplane LSH candidates
     (deterministic seed; near-identical vectors share every table's
     sign pattern with overwhelming probability), exact JVM-side cosine
-    verification, and the same oversized-bucket star-linking guard so a
-    cluster of k identical embeddings costs k-1 candidate pairs, not
-    k^2/2 in one task.  Emitted similarities are exact; false positives
-    are impossible (every candidate is re-verified)."""
+    verification, and the same two-wave oversized-bucket guard: star
+    linking against the bucket's min vec_id (k-1 candidate pairs, not
+    k^2/2 in one task), then hub-FAILED members retry all-pairs (or a
+    second star when still above ``bucket_cap``).  Emitted similarities
+    are exact; false positives are impossible (every candidate is
+    re-verified); the residual caveat matches minhash_lsh_pairs: a
+    near-dup pair split across hub-pass/hub-fail in a big bucket relies
+    on also colliding in some other table."""
     first = emb.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"])
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -418,24 +477,53 @@ def embedding_dup_pairs(emb: DataFrame, threshold: float = 0.9,
                          & (F.col("a.vec_id") < F.col("b.vec_id")))
                    .select(F.col("a.vec_id").alias("vec_a"),
                            F.col("b.vec_id").alias("vec_b")))
-    pairs_big = (b2.filter((F.col("bn") > bucket_cap)
-                           & (F.col("vec_id") != F.col("hub")))
+    bigm = b2.filter(F.col("bn") > bucket_cap)
+    pairs_hub = (bigm.filter(F.col("vec_id") != F.col("hub"))
                  .select(F.least("hub", "vec_id").alias("vec_a"),
                          F.greatest("hub", "vec_id").alias("vec_b")))
-    cand = pairs_small.union(pairs_big).distinct()
-    withv = (cand
-             .join(e.select(F.col("vec_id").alias("vec_a"),
-                            F.col("v").alias("va")), "vec_a")
-             .join(e.select(F.col("vec_id").alias("vec_b"),
-                            F.col("v").alias("vb")), "vec_b"))
+
     dot = F.aggregate(F.zip_with("va", "vb", lambda a, b: a * b),
                       F.lit(0.0), lambda acc, x: acc + x)
     nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
         F.transform(c, lambda a: a * a), F.lit(0.0), lambda acc, x: acc + x))
-    return (withv
-            .select("vec_a", "vec_b",
-                    (dot / (nrm(F.col("va")) * nrm(F.col("vb")))).alias("sim"))
-            .filter(F.col("sim") >= threshold))
+
+    def verify(cand: DataFrame) -> DataFrame:
+        withv = (cand
+                 .join(e.select(F.col("vec_id").alias("vec_a"),
+                                F.col("v").alias("va")), "vec_a")
+                 .join(e.select(F.col("vec_id").alias("vec_b"),
+                                F.col("v").alias("vb")), "vec_b"))
+        return (withv
+                .select("vec_a", "vec_b",
+                        (dot / (nrm(F.col("va")) * nrm(F.col("vb"))))
+                        .alias("sim"))
+                .filter(F.col("sim") >= threshold))
+
+    ok_small = verify(pairs_small.distinct())
+    ok_hub = verify(pairs_hub.distinct())
+    failed = (bigm.filter(F.col("vec_id") != F.col("hub"))
+              .withColumn("pa", F.least("hub", "vec_id"))
+              .withColumn("pb", F.greatest("hub", "vec_id"))
+              .join(ok_hub.select(F.col("vec_a").alias("pa"),
+                                  F.col("vec_b").alias("pb")),
+                    ["pa", "pb"], "left_anti"))
+    fsizes = failed.groupBy("tbl", "bucket").agg(
+        F.count(F.lit(1)).alias("fn"), F.min("vec_id").alias("hub2"))
+    f2 = failed.join(fsizes, ["tbl", "bucket"])
+    fs = f2.filter(F.col("fn") <= bucket_cap)
+    retry_small = (fs.alias("a")
+                   .join(fs.alias("b"),
+                         (F.col("a.tbl") == F.col("b.tbl"))
+                         & (F.col("a.bucket") == F.col("b.bucket"))
+                         & (F.col("a.vec_id") < F.col("b.vec_id")))
+                   .select(F.col("a.vec_id").alias("vec_a"),
+                           F.col("b.vec_id").alias("vec_b")))
+    retry_big = (f2.filter((F.col("fn") > bucket_cap)
+                           & (F.col("vec_id") != F.col("hub2")))
+                 .select(F.least("hub2", "vec_id").alias("vec_a"),
+                         F.greatest("hub2", "vec_id").alias("vec_b")))
+    ok_retry = verify(retry_small.union(retry_big).distinct())
+    return ok_small.union(ok_hub).union(ok_retry).distinct()
 
 
 # ---------------------------------------------------------------------------

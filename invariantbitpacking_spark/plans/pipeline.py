@@ -121,8 +121,12 @@ class CompressionPipeline:
         os.makedirs(self.params_dir, exist_ok=True)
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
+            # format_version marks the FSST-encoded string-column layout
+            # (v2); data dirs written before it carry plain strings and
+            # no table file — read_encoded detects both
             json.dump({"hex": fstr.table_to_hex(table),
-                       "symbols": int(table.size)}, f)
+                       "symbols": int(table.size),
+                       "format_version": 2}, f)
         os.replace(tmp, path)
         return table
 
@@ -267,14 +271,23 @@ class CompressionPipeline:
         """Encoded table; partition pruning on (snapshot_id, bucket)
         dirs makes per-snapshot reads touch only their own files.
         String columns decode transparently via the persisted global
-        FSST table."""
+        FSST table when the data dir carries the v2 (FSST) layout;
+        legacy dirs (plain string columns, no fsst_table.json) read
+        unchanged — detected both by the table file's presence and by
+        the columns' actual parquet types, so a v1 directory never hits
+        a FileNotFoundError or a spurious binary decode."""
         df = self.spark.read.parquet(self.data_dir)
         if snapshot_id is not None:
             df = df.filter(F.col("snapshot_id") == snapshot_id)
         path = os.path.join(self.params_dir, "fsst_table.json")
+        enc_cols = tuple(
+            c for c in ("doc_id", "source")
+            if dict(df.dtypes).get(c) == "binary")
+        if not enc_cols or not os.path.exists(path):
+            return df
         with open(path) as f:
             table = fstr.table_from_hex(json.load(f)["hex"])
-        return fstr.decode_string_cols(df, table, ("doc_id", "source"))
+        return fstr.decode_string_cols(df, table, enc_cols)
 
     def verify_checksums(self, snapshot_id: str) -> int:
         """Integrity audit against lineage: recompute each committed

@@ -195,3 +195,36 @@ def test_ann_ivf_recall(spark):
     e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
     a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
     assert len(e & a) / len(e) >= 0.4, len(e & a) / len(e)
+
+
+def test_minhash_big_bucket_wave2_recovers_hub_dissimilar_pairs(spark):
+    """Planted mega-cluster: 6 exact copies of H flood one LSH bucket
+    past bucket_cap, plus two near-dups x1/y1 (jaccard 0.636) that are
+    each dissimilar from H (0.385 < threshold) and collide with H —
+    and with each other — ONLY inside H's oversized bucket (band 6;
+    corpus searched once, deterministic under seed-stable xxhash64).
+
+    Star linking alone (wave 1) bounds the flood to k-1 hub pairs but
+    would lose (x1, y1): both hub pairs fail exact verification.  The
+    wave-2 fallback retries the failed members all-pairs and must
+    recover the pair with its exact jaccard."""
+    from invariantbitpacking_spark.functions.dataops import minhash_lsh_pairs
+
+    H_words = [f"q24w{i}" for i in range(20)]
+    x_words = H_words[:12] + [f"q24x{i}" for i in range(8)]
+    y_words = H_words[:12] + x_words[12:16] + [f"q24y{i}" for i in range(4)]
+    rows = [(f"a{i:02d}", " ".join(H_words)) for i in range(6)]
+    rows += [("x1", " ".join(x_words)), ("y1", " ".join(y_words))]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in minhash_lsh_pairs(df, bucket_cap=4).collect()}
+    # wave 2 must recover the hub-dissimilar near-dup pair, exactly
+    assert ("x1", "y1") in out
+    assert abs(out[("x1", "y1")] - 0.636364) < 1e-5
+    # flood stays star-bounded: exactly k-1 hub pairs, no a_i x a_j blowup
+    flood = [p for p in out if p[0].startswith("a") and p[1].startswith("a")]
+    assert sorted(flood) == [("a00", f"a{i:02d}") for i in range(1, 6)]
+    # hub-dissimilar docs never pair with the flood (exact verify holds)
+    assert not any("x1" in p or "y1" in p for p in flood)
+    assert ("a00", "x1") not in out and ("a00", "y1") not in out

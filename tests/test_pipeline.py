@@ -156,3 +156,30 @@ def test_verify_checksums_detects_tamper(spark, tokens_df, outdir):
     (one.drop("snapshot_id", "bucket").write.mode("append")
      .parquet(part_dir))
     assert pipe.verify_checksums("snapC") >= 1
+
+
+def test_read_encoded_handles_legacy_plain_string_layout(spark, tmp_path):
+    """A data directory written with plain string columns and no
+    fsst_table.json (the pre-FSST layout) must stay readable: no
+    FileNotFoundError, no spurious binary decode."""
+    import json
+    import os
+
+    from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+
+    out = str(tmp_path / "legacy")
+    p = CompressionPipeline(spark, out, num_buckets=2)
+    legacy = spark.createDataFrame(
+        [("d1", "s1", bytearray(b"\x01\x02"), "old", 2)],
+        "doc_id string, source string, payload binary, snapshot_id string, "
+        "bucket int")
+    legacy.write.partitionBy("snapshot_id", "bucket").parquet(p.data_dir)
+    got = p.read_encoded("old").collect()
+    assert [r["doc_id"] for r in got] == ["d1"]
+    assert [r["source"] for r in got] == ["s1"]
+    # and a v2 table file next to legacy string columns is also ignored
+    os.makedirs(p.params_dir, exist_ok=True)
+    with open(os.path.join(p.params_dir, "fsst_table.json"), "w") as f:
+        json.dump({"hex": "", "symbols": 0, "format_version": 2}, f)
+    got = p.read_encoded("old").collect()
+    assert [r["doc_id"] for r in got] == ["d1"]
