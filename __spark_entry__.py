@@ -465,6 +465,47 @@ def q_kmeans_vs_global_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.join(gl, "source").orderBy("source")
 
 
+def q_kmeans_vs_global_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-checkable half of kmeans_vs_global_ratio, hash-gated:
+    per-source doc counts and raw bytes are DuckDB-exact, and the
+    per-block never-expand clamp (comp_size = min(..., vec_bytes),
+    reference ibp_misc_dev.cuh:86-87) makes ``no_expand_docs == docs``
+    an oracle-checkable invariant of BOTH encoders' emitted bytes; the
+    absolute kmeans/global byte totals stay in the rows-only twin."""
+    from invariantbitpacking_spark.operators import ibp, kmeans
+
+    toks = _tokens(spark, sf_dir)
+    kp = _kparams(spark, sf_dir)
+    gp = ibp.learn_params(toks, vec_size=kp.vec_size)
+    km = (kmeans.encode_ibp_kmeans(toks, kp)
+          .select("doc_id", "source", "raw_bytes",
+                  F.col("comp_bytes").alias("kb")))
+    gl = (ibp.encode_ibp(toks, gp)
+          .select("doc_id", F.col("comp_bytes").alias("gb")))
+    j = km.join(gl, "doc_id")
+    return (j.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("raw_bytes").alias("raw_bytes"),
+                 F.sum(((F.col("kb") <= F.col("raw_bytes"))
+                        & (F.col("gb") <= F.col("raw_bytes")))
+                       .cast("long")).alias("no_expand_docs")))
+
+
+def q_codec_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-checkable half of codec_sizes_by_source, hash-gated:
+    which (source, codec) cells the selector's size predictor emits and
+    how many docs land in each.  Every codec covers every doc except
+    DICT, whose u16 cardinality limit drops docs with > 65535 distinct
+    tokens — both facts the oracle recomputes exactly; the predicted
+    byte totals stay in the rows-only twin."""
+    from invariantbitpacking_spark.operators.selector import (
+        predicted_sizes_by_source)
+
+    toks = _tokens(spark, sf_dir)
+    return (predicted_sizes_by_source(toks, _params(spark, sf_dir))
+            .select("source", "codec", "docs"))
+
+
 def q_lineitem_colstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selector input statistics: min/max/NDV/count per column."""
     from invariantbitpacking_spark.functions.stats import column_stats
@@ -719,6 +760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "condensed_offsets": q_condensed_offsets,
         "kmeans_roundtrip_by_source": q_kmeans_roundtrip_by_source,
         "kmeans_vs_global_ratio": q_kmeans_vs_global_ratio,
+        "kmeans_vs_global_shape": q_kmeans_vs_global_shape,
+        "codec_docs_by_source": q_codec_docs_by_source,
         "bitcount64_orderkey": q_bitcount64_orderkey,
         "ibp64_roundtrip_by_source": q_ibp64_roundtrip_by_source,
         "bitcount16_suppkey": q_bitcount16_suppkey,
@@ -837,6 +880,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(4 * len({_TOK})) AS BIGINT) AS raw_bytes,
                    COUNT(*) AS no_expand_docs
             FROM documents GROUP BY source
+        """,
+        "kmeans_vs_global_shape": f"""
+            SELECT source,
+                   COUNT(*) AS docs,
+                   CAST(SUM(4 * len({_TOK})) AS BIGINT) AS raw_bytes,
+                   COUNT(*) AS no_expand_docs
+            FROM documents GROUP BY source
+        """,
+        "codec_docs_by_source": f"""
+            WITH t AS (SELECT source, {_TOK} AS toks FROM documents),
+            codecs AS (SELECT UNNEST(['raw','ibp','for','dfor','rle','dict'])
+                       AS codec)
+            SELECT t.source, c.codec, COUNT(*) AS docs
+            FROM t, codecs c
+            WHERE c.codec != 'dict'
+               OR len(list_distinct(t.toks)) <= 65535
+            GROUP BY t.source, c.codec
         """,
         "codec_choice_by_source": f"""
             WITH t AS (SELECT {_TOK} AS toks, source FROM documents),

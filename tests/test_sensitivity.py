@@ -39,3 +39,32 @@ def test_no_savings_degrades_to_zero_mask(spark, tokens_df):
     assert int(p.mask.sum()) == 0
     enc = ibp.encode_ibp(tokens_df.limit(50), p)
     assert enc.filter(F.col("comp_bytes") != F.col("raw_bytes")).count() == 0
+
+
+def test_decode_throughput_guard_at_97pct_mask():
+    """Figure-7 regression guard (reference decompression_thput.py): at
+    the 97% constructed-rate mask, kernel decode throughput must stay
+    within an order of magnitude of its measured ~64 M tok/s (floor set
+    8x below to ride out VM noise — this catches path regressions such
+    as the all-pass fastpath silently falling back to the bit loop)."""
+    import time
+
+    import numpy as np
+
+    from invariantbitpacking_spark.codecs import numpy_ref as nr
+    from scripts.decode_ratio_bench import make_mask_and_bitval
+
+    v, n = 256, 8000
+    data = np.zeros((n, v), np.uint32)
+    mask, bitval = make_mask_and_bitval(v, 0.97, 970)
+    flat, sizes, is_comp = nr.encode_concat(data, mask, bitval)
+    assert 1.0 - sizes.sum() / data.nbytes > 0.95  # construction holds
+    out = nr.decode_concat(flat, sizes, is_comp, v, mask, bitval)
+    np.testing.assert_array_equal(out, data)
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        nr.decode_concat(flat, sizes, is_comp, v, mask, bitval)
+        best = min(best, time.perf_counter() - t0)
+    mtoks = data.size / best / 1e6
+    assert mtoks > 8.0, f"decode at 97% mask regressed to {mtoks:.1f} M tok/s"
