@@ -117,6 +117,66 @@ SIGNED_DT = {1: np.int8, 2: np.int16, 4: np.int32, 8: np.int64}
 UNSIGNED_DT = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
 
 
+def frame_batch_flat(tok_flat: np.ndarray, starts: np.ndarray,
+                     lens: np.ndarray,
+                     vec_size: int = VEC_SIZE) -> FramedBatch:
+    """Frame documents given directly as (flat values, per-doc starts,
+    per-doc lengths) — the Arrow ListArray layout (``values`` buffer +
+    ``offsets``), so ``mapInArrow`` paths frame with ZERO per-document
+    Python: no list of arrays, no concatenate.  ``starts`` need not be
+    contiguous (null docs carry len 0 and any start)."""
+    sdt = SIGNED_DT[tok_flat.dtype.itemsize]
+    udt = UNSIGNED_DT[tok_flat.dtype.itemsize]
+    tok_flat = tok_flat.view(sdt)
+    lens = np.asarray(lens, np.int64)
+    starts = np.asarray(starts, np.int64)
+    nfull = lens // vec_size
+    tail_len = lens % vec_size
+    nblocks = nfull + (tail_len > 0)
+
+    full_mat = gather_ranges(tok_flat, starts, nfull * vec_size)
+    full_mat = full_mat.reshape(-1, vec_size).view(udt)
+
+    tails: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    tdocs = np.flatnonzero(tail_len)
+    if tdocs.size:
+        tstarts = starts[tdocs] + nfull[tdocs] * vec_size
+        twidth = tail_len[tdocs]
+        order = np.argsort(twidth, kind="stable")
+        tdocs, tstarts, twidth = tdocs[order], tstarts[order], twidth[order]
+        uniq, grp_start = np.unique(twidth, return_index=True)
+        grp_end = np.append(grp_start[1:], twidth.size)
+        for L, s, e in zip(uniq, grp_start, grp_end):
+            L = int(L)
+            docs = tdocs[s:e]
+            mat = gather_ranges(tok_flat, tstarts[s:e], twidth[s:e])
+            tails[L] = (mat.reshape(-1, L).view(udt), docs)
+
+    return FramedBatch(lens, nfull, tail_len, nblocks, full_mat, tails,
+                       vec_size)
+
+
+def list_array_flat(col, itemsize: int = 4):
+    """Decompose a pyarrow ListArray (or ChunkedArray with one chunk)
+    into ``(values uint8-view flat, starts, lens)`` numpy views — the
+    zero-copy input contract of :func:`frame_batch_flat`.  Null entries
+    become length-0 documents.  Handles sliced arrays (offsets reflect
+    the slice window; values stay the full child buffer)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = col.offsets.to_numpy().astype(np.int64)
+    values = col.values.to_numpy(zero_copy_only=False)
+    starts = offsets[:-1]
+    lens = offsets[1:] - starts
+    if col.null_count:
+        nulls = col.is_null().to_numpy(zero_copy_only=False)
+        lens = np.where(nulls, 0, lens)
+    sdt = SIGNED_DT[itemsize]
+    return np.ascontiguousarray(values).view(sdt), starts, lens
+
+
 def frame_batch(token_arrays, vec_size: int = VEC_SIZE,
                 itemsize: int = 4) -> FramedBatch:
     """``itemsize`` selects the element width: 1/2/4/8 bytes — the full
@@ -163,29 +223,36 @@ def frame_batch(token_arrays, vec_size: int = VEC_SIZE,
     return FramedBatch(lens, nfull, tail_len, nblocks, full_mat, tails, vec_size)
 
 
-def unframe_batch(fb: FramedBatch, full_dec: np.ndarray,
-                  tail_dec: dict[int, np.ndarray]) -> list[np.ndarray]:
-    """Rebuild per-document int32 token arrays from decoded full-block
-    and tail-group matrices."""
+def unframe_flat(fb: FramedBatch, full_dec: np.ndarray,
+                 tail_dec: dict[int, np.ndarray]):
+    """Rebuild the batch's decoded tokens as ONE flat array plus
+    per-doc start offsets (the Arrow ListArray layout) — no per-doc
+    Python at all."""
     v = fb.vec_size
-    ndocs = len(fb.lens)
     total = int(fb.lens.sum())
     sdt = SIGNED_DT[full_dec.dtype.itemsize]
     flat = np.zeros(total, sdt)
     doc_tok_start = np.cumsum(fb.lens) - fb.lens
-    # scatter full blocks
+    from ..codecs.lightweight import _scatter_rows
+
     full_flat = full_dec.view(sdt).reshape(-1)
-    tgt = gather_ranges(np.arange(total, dtype=np.int64),
-                        doc_tok_start, fb.nfull * v)
-    flat[tgt] = full_flat
+    _scatter_rows(flat, doc_tok_start, full_flat, fb.nfull * v)
     # scatter tails: same width within a group, so targets broadcast
     # directly (no O(total) index build per group)
     for L, (mat, docs) in fb.tails.items():
         dec = tail_dec[L].view(sdt).reshape(-1, L)
         tstarts = doc_tok_start[docs] + fb.nfull[docs] * v
         flat[tstarts[:, None] + np.arange(L)[None, :]] = dec
+    return flat, doc_tok_start
+
+
+def unframe_batch(fb: FramedBatch, full_dec: np.ndarray,
+                  tail_dec: dict[int, np.ndarray]) -> list[np.ndarray]:
+    """Rebuild per-document int32 token arrays from decoded full-block
+    and tail-group matrices."""
+    flat, doc_tok_start = unframe_flat(fb, full_dec, tail_dec)
     return [flat[int(doc_tok_start[i]): int(doc_tok_start[i]) + int(fb.lens[i])]
-            for i in range(ndocs)]
+            for i in range(len(fb.lens))]
 
 
 # Backwards-compatible rectangular helpers (used by tests / stats on

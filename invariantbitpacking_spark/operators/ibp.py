@@ -39,8 +39,47 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import numpy_ref as nr
 from .framing import (SIGNED_DT, UNSIGNED_DT, VEC_SIZE, FramedBatch,
-                      frame_batch, gather_ranges, split_by_token_mass,
-                      unframe_batch)
+                      frame_batch, frame_batch_flat, gather_ranges,
+                      list_array_flat, split_by_token_mass, unframe_batch,
+                      unframe_flat)
+
+
+def binary_array_flat(arr):
+    """Decompose a pyarrow Binary/String array into ``(flat uint8,
+    starts, lens)`` numpy views, honoring slices and nulls (null ->
+    length 0)."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], np.int32)[
+        arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = (np.frombuffer(bufs[2], np.uint8)
+            if bufs[2] is not None else np.zeros(0, np.uint8))
+    starts = offs[:-1]
+    lens = offs[1:] - starts
+    if arr.null_count:
+        nulls = arr.is_null().to_numpy(zero_copy_only=False)
+        lens = np.where(nulls, 0, lens)
+    return data, starts, lens
+
+
+def _mass_ranges(lens: np.ndarray, max_tokens: int | None):
+    """Sub-batch boundaries [(i0, i1), ...] bounded by total token
+    mass — the arrow twin of split_by_token_mass."""
+    from .framing import MAX_BATCH_TOKENS
+
+    if max_tokens is None:
+        max_tokens = MAX_BATCH_TOKENS
+    n = len(lens)
+    if n == 0 or int(lens.sum()) <= max_tokens:
+        return [(0, n)]
+    bucket = np.cumsum(lens) // max_tokens
+    brk = np.flatnonzero(np.diff(bucket)) + 1
+    bounds = [0, *brk.tolist(), n]
+    return [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)
+            if bounds[i] < bounds[i + 1]]
 
 
 @dataclass
@@ -136,22 +175,28 @@ def bit_count_df(df: DataFrame, tokens_col: str = "tokens",
     scheme (ibp_preproc_kernels.cuh:8-31).  The word width W follows the
     input element type (32 for array<int>, 64 for array<bigint> —
     src/preprocess.cu:56-72 dtype dispatch)."""
+    import pyarrow as pa
+
     ib = _elem_bytes(df, tokens_col)
     w = ib * 8
 
-    def counter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf0 in batches:
-          for pdf in split_by_token_mass(pdf0, tokens_col):
-            fb = frame_batch(pdf[tokens_col].values, vec_size, itemsize=ib)
-            counts, cov = _batch_counts(fb, vec_size, w)
-            yield pd.DataFrame({
-                "pos": np.concatenate(
-                    [[-1], np.arange(vec_size * w + vec_size)]),
-                "cnt": np.concatenate(
-                    [[int(fb.nblocks.sum())], counts.reshape(-1), cov]),
-            })
+    def counter(batches) -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            flat, starts, lens = list_array_flat(rb.column(0), ib)
+            for i0, i1 in _mass_ranges(lens, None):
+                fb = frame_batch_flat(flat, starts[i0:i1], lens[i0:i1],
+                                      vec_size)
+                counts, cov = _batch_counts(fb, vec_size, w)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.concatenate(
+                        [[-1], np.arange(vec_size * w + vec_size)]
+                    ).astype(np.int32), pa.int32()),
+                     pa.array(np.concatenate(
+                        [[int(fb.nblocks.sum())], counts.reshape(-1), cov]
+                     ).astype(np.int64), pa.int64())],
+                    names=["pos", "cnt"])
 
-    partial = df.select(tokens_col).mapInPandas(counter, schema="pos int, cnt long")
+    partial = df.select(tokens_col).mapInArrow(counter, schema="pos int, cnt long")
     return partial.groupBy("pos").agg(F.sum("cnt").alias("cnt"))
 
 
@@ -202,23 +247,30 @@ def learn_params(df: DataFrame, tokens_col: str = "tokens",
 
     # Single evaluation pass for ALL thresholds: per batch, per-block
     # gated savings (ibp_preproc_kernels.cuh:69-72) summed per candidate.
-    def evaluator(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf0 in batches:
-          for pdf in split_by_token_mass(pdf0, tokens_col):
-            fb = frame_batch(pdf[tokens_col].values, vec_size, itemsize=ib)
-            saveds = np.zeros(len(grid), np.int64)
-            for g in range(len(grid)):
-                if fb.full_mat.shape[0]:
-                    saveds[g] += _gated_savings(
-                        fb.full_mat, masks[g], bitvals[g], mask_popc[g])
-                for L, (mat, _) in fb.tails.items():
-                    saveds[g] += _gated_savings(
-                        mat, masks[g], bitvals[g], mask_popc[g])
-            yield pd.DataFrame({"ti": np.arange(len(grid)), "saved": saveds})
+    def evaluator(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            flat, starts, lens = list_array_flat(rb.column(0), ib)
+            for i0, i1 in _mass_ranges(lens, None):
+                fb = frame_batch_flat(flat, starts[i0:i1], lens[i0:i1],
+                                      vec_size)
+                saveds = np.zeros(len(grid), np.int64)
+                for g in range(len(grid)):
+                    if fb.full_mat.shape[0]:
+                        saveds[g] += _gated_savings(
+                            fb.full_mat, masks[g], bitvals[g], mask_popc[g])
+                    for L, (mat, _) in fb.tails.items():
+                        saveds[g] += _gated_savings(
+                            mat, masks[g], bitvals[g], mask_popc[g])
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(np.arange(len(grid), dtype=np.int32)),
+                     pa.array(saveds, pa.int64())],
+                    names=["ti", "saved"])
 
     ev = (
         df.select(tokens_col)
-        .mapInPandas(evaluator, schema="ti int, saved long")
+        .mapInArrow(evaluator, schema="ti int, saved long")
         .groupBy("ti").agg(F.sum("saved").alias("saved"))
         .collect()
     )
@@ -336,31 +388,56 @@ def encode_ibp(df: DataFrame, params: IbpParams,
     compressed bitmap (LSB-first — the reference's ``bitmask`` int32
     array, src/compress.cu:214-215).  A pure narrow projection.
     Element width follows ``params.mask.dtype`` (4- or 8-byte words,
-    src/compress.cu:192)."""
+    src/compress.cu:192).
+
+    Runs as ``mapInArrow``: tokens arrive as one Arrow values buffer +
+    offsets (no pandas conversion, no per-doc array objects), and every
+    output column is built from one flat numpy buffer + offsets — the
+    whole encode is zero per-document Python."""
+    import pyarrow as pa
+
     mask, bitval, v = params.mask, params.bitval, params.vec_size
     ib = params.item_bytes
 
-    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf0 in batches:
-          for pdf in split_by_token_mass(pdf0, tokens_col, max_batch_tokens):
-            fb = frame_batch(pdf[tokens_col].values, v, itemsize=ib)
-            payloads, bsizes, bflags, comp_bytes = encode_batch(fb, mask, bitval)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                # n_tok recomputed from the arrays: decode trims by it
-                "n_tok": fb.lens.astype("int32"),
-                "n_blocks": fb.nblocks.astype("int32"),
-                "block_sizes": bsizes,
-                "block_flags": bflags,
-                "payload": payloads,
-                "comp_bytes": comp_bytes,
-                "raw_bytes": fb.lens * ib,
-                "codec": "ibp",
-            })
+    def encoder(batches) -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            flat, starts, lens = list_array_flat(
+                rb.column(rb.schema.names.index(tokens_col)), ib)
+            for i0, i1 in _mass_ranges(lens, max_batch_tokens):
+                fb = frame_batch_flat(flat, starts[i0:i1], lens[i0:i1], v)
+                buf, doc_bytes, sizes, flags_packed, flag_nbytes = (
+                    encode_batch_flat(fb, mask, bitval))
+                n = i1 - i0
+                pay_off = np.zeros(n + 1, np.int32)
+                np.cumsum(doc_bytes, out=pay_off[1:])
+                payload = pa.BinaryArray.from_buffers(
+                    pa.binary(), n,
+                    [None, pa.py_buffer(pay_off), pa.py_buffer(buf)])
+                blk_off = np.zeros(n + 1, np.int32)
+                np.cumsum(fb.nblocks, out=blk_off[1:])
+                block_sizes = pa.ListArray.from_arrays(
+                    pa.array(blk_off, pa.int32()),
+                    pa.array(sizes.astype(np.int32), pa.int32()))
+                flg_off = np.zeros(n + 1, np.int32)
+                np.cumsum(flag_nbytes, out=flg_off[1:])
+                block_flags = pa.BinaryArray.from_buffers(
+                    pa.binary(), n,
+                    [None, pa.py_buffer(flg_off), pa.py_buffer(flags_packed)])
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(rb.schema.names.index("doc_id")).slice(i0, n),
+                     rb.column(rb.schema.names.index("source")).slice(i0, n),
+                     pa.array(fb.lens.astype(np.int32), pa.int32()),
+                     pa.array(fb.nblocks.astype(np.int32), pa.int32()),
+                     block_sizes, block_flags, payload,
+                     pa.array(doc_bytes, pa.int64()),
+                     pa.array(fb.lens * ib, pa.int64()),
+                     pa.array(np.full(n, "ibp", object))],
+                    names=["doc_id", "source", "n_tok", "n_blocks",
+                           "block_sizes", "block_flags", "payload",
+                           "comp_bytes", "raw_bytes", "codec"])
 
     cols = ["doc_id", tokens_col, "source"]
-    return df.select(*cols).mapInPandas(encoder, schema=ENCODED_SCHEMA)
+    return df.select(*cols).mapInArrow(encoder, schema=ENCODED_SCHEMA)
 
 
 def decode_docs(lens: np.ndarray, block_sizes_list, block_flags_list,
@@ -423,6 +500,66 @@ def decode_docs(lens: np.ndarray, block_sizes_list, block_flags_list,
     return unframe_batch(fb, full_dec, tail_dec)
 
 
+def decode_docs_flat(lens: np.ndarray, sizes: np.ndarray,
+                     flags_flat: np.ndarray, flags_starts: np.ndarray,
+                     pay_flat: np.ndarray, pay_starts: np.ndarray,
+                     mask: np.ndarray, bitval: np.ndarray, v: int):
+    """Flat-native decode (the Arrow twin of :func:`decode_docs`):
+    per-doc payload/flag spans are addressed through explicit start
+    offsets into shared buffers — no joins, no per-doc bytes objects.
+    Returns ``(tok_flat, tok_starts)`` in the ListArray layout."""
+    sdt = SIGNED_DT[mask.dtype.itemsize]
+    ndocs = len(lens)
+    lens = np.asarray(lens, np.int64)
+    nfull = lens // v
+    tail_len = lens % v
+    nblocks = nfull + (tail_len > 0)
+    nb_tot = int(nblocks.sum())
+    if ndocs == 0 or nb_tot == 0:
+        return np.zeros(0, sdt), np.zeros(ndocs, np.int64)
+    sizes = np.asarray(sizes, np.int64)
+    blk_start = np.cumsum(nblocks) - nblocks
+    # byte offset of each block = its doc's payload base + the local
+    # exclusive cumsum of its doc's block sizes
+    # zero-block docs have blk_start == nb_tot; pad so indexing stays
+    # in bounds (their repeat count is 0, the value never used)
+    exc = np.append(np.cumsum(sizes) - sizes, 0)
+    local = exc[:-1] - np.repeat(exc[np.minimum(blk_start, nb_tot)], nblocks)
+    offsets = np.repeat(pay_starts, nblocks) + local
+    within = np.arange(nb_tot, dtype=np.int64) - np.repeat(blk_start, nblocks)
+    fbyte = np.repeat(flags_starts, nblocks) + (within >> 3)
+    is_comp = ((flags_flat[fbyte].astype(np.int64) >> (within & 7)) & 1
+               ).astype(bool)
+    doc_of_block = np.repeat(np.arange(ndocs), nblocks)
+    is_tail = (tail_len[doc_of_block] > 0) & (
+        within == (nblocks[doc_of_block] - 1))
+
+    fsel = ~is_tail
+    fbuf = gather_ranges(pay_flat, offsets[fsel], sizes[fsel])
+    full_dec = nr.decode_concat(
+        fbuf, sizes[fsel], is_comp[fsel], v, mask, bitval)
+
+    tail_dec: dict[int, np.ndarray] = {}
+    tails: dict[int, tuple] = {}
+    tsel = np.flatnonzero(is_tail)
+    if tsel.size:
+        widths = tail_len[doc_of_block[tsel]]
+        order = np.argsort(widths, kind="stable")
+        tsel, widths = tsel[order], widths[order]
+        uniq, gs = np.unique(widths, return_index=True)
+        ge = np.append(gs[1:], widths.size)
+        for L, s, e in zip(uniq, gs, ge):
+            L = int(L)
+            sel = tsel[s:e]
+            buf = gather_ranges(pay_flat, offsets[sel], sizes[sel])
+            tail_dec[L] = nr.decode_concat(
+                buf, sizes[sel], is_comp[sel], L, mask[:L], bitval[:L])
+            tails[L] = (None, doc_of_block[sel])
+
+    fb = FramedBatch(lens, nfull, tail_len, nblocks, full_dec, tails, v)
+    return unframe_flat(fb, full_dec, tail_dec)
+
+
 def predict_sizes_ibp(fb: FramedBatch, mask: np.ndarray,
                       bitval: np.ndarray) -> np.ndarray:
     """Per-document IBP compressed size WITHOUT encoding (the
@@ -444,24 +581,51 @@ def decode_ibp(df: DataFrame, params: IbpParams,
                max_batch_tokens: int | None = None) -> DataFrame:
     """Decode an encoded table back to ``(doc_id, tokens, n_tok,
     source)`` — per-row inverse, bit-identical token arrays.  The
-    tokens element type follows ``params.item_bytes`` (int / bigint)."""
-    mask, bitval, v = params.mask, params.bitval, params.vec_size
+    tokens element type follows ``params.item_bytes`` (tinyint /
+    smallint / int / bigint).
 
-    def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf0 in batches:
-          for pdf in split_by_token_mass(pdf0, "n_tok", max_batch_tokens):
-            toks = decode_docs(
-                pdf["n_tok"].values, pdf["block_sizes"].values,
-                pdf["block_flags"].values.tolist(),
-                pdf["payload"].values.tolist(), mask, bitval, v)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "tokens": toks,
-                "n_tok": pdf["n_tok"].astype("int32"),
-                "source": pdf["source"],
-            })
+    Runs as ``mapInArrow``: payload/flag/size columns are consumed as
+    shared Arrow buffers with per-doc offsets, and the decoded tokens
+    column is emitted as ONE values buffer + offsets — zero
+    per-document Python end to end."""
+    import pyarrow as pa
+
+    mask, bitval, v = params.mask, params.bitval, params.vec_size
+    pa_elem = {1: pa.int8(), 2: pa.int16(), 4: pa.int32(),
+               8: pa.int64()}[params.item_bytes]
+
+    def decoder(batches) -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            names = rb.schema.names
+            n_tok_all = rb.column(names.index("n_tok")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            for i0, i1 in _mass_ranges(n_tok_all, max_batch_tokens):
+                n = i1 - i0
+                sl = rb.slice(i0, n)
+                lens = n_tok_all[i0:i1]
+                bs_vals, bs_starts, bs_lens = list_array_flat(
+                    sl.column(names.index("block_sizes")), 4)
+                sizes = gather_ranges(bs_vals, bs_starts, bs_lens)
+                flags_flat, flags_starts, _ = binary_array_flat(
+                    sl.column(names.index("block_flags")))
+                pay_flat, pay_starts, _ = binary_array_flat(
+                    sl.column(names.index("payload")))
+                tok_flat, tok_starts = decode_docs_flat(
+                    lens, sizes, flags_flat, flags_starts,
+                    pay_flat, pay_starts, mask, bitval, v)
+                tok_off = np.zeros(n + 1, np.int32)
+                np.cumsum(lens, out=tok_off[1:])
+                tokens = pa.ListArray.from_arrays(
+                    pa.array(tok_off, pa.int32()),
+                    pa.array(tok_flat, pa_elem))
+                yield pa.RecordBatch.from_arrays(
+                    [sl.column(names.index("doc_id")),
+                     tokens,
+                     pa.array(lens.astype(np.int32), pa.int32()),
+                     sl.column(names.index("source"))],
+                    names=["doc_id", "tokens", "n_tok", "source"])
 
     elem = {1: "tinyint", 2: "smallint", 4: "int", 8: "bigint"}[params.item_bytes]
     schema = f"doc_id string, tokens array<{elem}>, n_tok int, source string"
     return df.select("doc_id", "n_blocks", "block_sizes", "block_flags",
-                     "payload", "n_tok", "source").mapInPandas(decoder, schema=schema)
+                     "payload", "n_tok", "source").mapInArrow(decoder, schema=schema)

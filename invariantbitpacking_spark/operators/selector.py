@@ -25,8 +25,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from ..codecs import lightweight as lw
 from ..codecs.bitutil import width_for
-from .framing import frame_batch, gather_ranges, split_by_token_mass
-from .ibp import (ENCODED_SCHEMA, IbpParams, _elem_bytes, decode_docs,
+from .framing import (frame_batch, frame_batch_flat, gather_ranges,
+                      list_array_flat, split_by_token_mass)
+from .ibp import (ENCODED_SCHEMA, IbpParams, _elem_bytes, _mass_ranges,
+                  binary_array_flat, decode_docs, decode_docs_flat,
                   encode_batch_flat, predict_sizes_ibp)
 
 
@@ -124,16 +126,47 @@ def encode_docs_auto(token_arrays, params: IbpParams,
     (the condensed-offsets shape of the reference's scan,
     src/compress.cu:284-285, generalized to a mixed-codec row group)."""
     v = params.vec_size
-    fb = frame_batch(token_arrays, v)
-    lens = fb.lens
+    lens = np.fromiter((len(a) if a is not None else 0
+                        for a in token_arrays), np.int64,
+                       count=len(token_arrays))
+    flat = (np.concatenate([np.asarray(a, np.int32) for a in token_arrays
+                            if a is not None])
+            if total_of(lens) else np.zeros(0, np.int32)).view(np.uint32)
+    (pick, out, pbytes, bsz_all, nblocks_out, flags_all,
+     fnbytes) = encode_docs_auto_flat(flat, lens, params, allowed)
     ndocs = len(lens)
     if ndocs == 0:
         z = np.zeros(0, np.int64)
         return [], [], [], [], z, lens, z
+    doc_off = np.cumsum(pbytes) - pbytes
+    flag_off = np.cumsum(fnbytes) - fnbytes
+    payloads = [out[o:o + n].tobytes()
+                for o, n in zip(doc_off.tolist(), pbytes.tolist())]
+    bsizes = np.split(bsz_all.astype(np.int32),
+                      np.cumsum(nblocks_out[:-1]).tolist())
+    bflags = [flags_all[o:o + n].tobytes()
+              for o, n in zip(flag_off.tolist(), fnbytes.tolist())]
+    codec_names = np.array(CODEC_ORDER, object)[pick].tolist()
+    return codec_names, payloads, bsizes, bflags, pbytes, lens, nblocks_out
+
+
+def encode_docs_auto_flat(flat: np.ndarray, lens: np.ndarray,
+                          params: IbpParams,
+                          allowed: tuple[str, ...] = CODEC_ORDER):
+    """Flat core of :func:`encode_docs_auto`: tokens arrive as one
+    contiguous doc-major uint32 buffer + per-doc lengths (the Arrow
+    values/offsets layout after null compaction) and every output is a
+    flat buffer + per-doc extents.  Returns ``(pick, payload_buf,
+    pbytes, block_sizes_flat, nblocks, flags_flat, flag_nbytes)``."""
+    v = params.vec_size
+    lens = np.asarray(lens, np.int64)
+    ndocs = len(lens)
     starts = np.cumsum(lens) - lens
-    flat = (np.concatenate([np.asarray(a, np.int32) for a in token_arrays
-                            if a is not None])
-            if total_of(lens) else np.zeros(0, np.int32)).view(np.uint32)
+    if ndocs == 0:
+        z = np.zeros(0, np.int64)
+        return (np.zeros(0, np.int64), np.zeros(0, np.uint8), z,
+                z.copy(), z.copy(), np.zeros(0, np.uint8), z.copy())
+    fb = frame_batch_flat(flat, starts, lens, v)
     sizes = predict_sizes(flat, lens, fb, params)
     pick = choose_codec(sizes, allowed)
 
@@ -149,7 +182,10 @@ def encode_docs_auto(token_arrays, params: IbpParams,
         if docs.size == 0:
             continue
         if codec == "ibp":
-            sub_fb = frame_batch([token_arrays[i] for i in docs], v)
+            sub_flat = gather_ranges(flat, starts[docs], lens[docs])
+            sub_lens = lens[docs]
+            sub_fb = frame_batch_flat(
+                sub_flat, np.cumsum(sub_lens) - sub_lens, sub_lens, v)
             buf, doc_bytes, bsz_flat, flags_packed, flag_nb = (
                 encode_batch_flat(sub_fb, params.mask, params.bitval))
             pbytes[docs] = doc_bytes
@@ -190,14 +226,7 @@ def encode_docs_auto(token_arrays, params: IbpParams,
         lw._scatter_rows(bsz_all, blk_start[docs], bsz_flat, nb)
         lw._scatter_rows(flags_all, flag_off[docs], flags_packed, flag_nb)
 
-    payloads = [out[o:o + n].tobytes()
-                for o, n in zip(doc_off.tolist(), pbytes.tolist())]
-    bsizes = np.split(bsz_all.astype(np.int32),
-                      np.cumsum(nblocks_out[:-1]).tolist())
-    bflags = [flags_all[o:o + n].tobytes()
-              for o, n in zip(flag_off.tolist(), fnbytes.tolist())]
-    codec_names = np.array(CODEC_ORDER, object)[pick].tolist()
-    return codec_names, payloads, bsizes, bflags, pbytes, lens, nblocks_out
+    return pick, out, pbytes, bsz_all, nblocks_out, flags_all, fnbytes
 
 
 def total_of(lens) -> int:
@@ -212,30 +241,62 @@ def encode_auto(df: DataFrame, params: IbpParams,
     """Auto-selected encode: same output schema as encode_ibp, with the
     ``codec`` column recording the per-document choice.  ``passthrough``
     columns (e.g. a salt bucket) are carried to the output unchanged —
-    cheaper than re-joining them afterwards."""
+    cheaper than re-joining them afterwards.
+
+    Runs as ``mapInArrow`` on flat buffers end to end (see
+    :func:`encode_docs_auto_flat`)."""
+    import pyarrow as pa
+
     _require_int32(df, tokens_col, "encode_auto")
 
-    def encoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf0 in batches:
-          for pdf in split_by_token_mass(pdf0, tokens_col, max_batch_tokens):
-            arrays = list(pdf[tokens_col].values)
-            (codecs, payloads, bsizes, bflags, comp_bytes, lens,
-             nblocks) = encode_docs_auto(arrays, params, allowed)
-            out = pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "source": pdf["source"],
-                "n_tok": lens.astype("int32"),
-                "n_blocks": nblocks.astype("int32"),
-                "block_sizes": bsizes,
-                "block_flags": bflags,
-                "payload": payloads,
-                "comp_bytes": comp_bytes,
-                "raw_bytes": lens * 4,
-                "codec": codecs,
-            })
-            for c in passthrough:
-                out[c] = pdf[c].values
-            yield out
+    def encoder(batches) -> "Iterator[pa.RecordBatch]":
+        codec_pool = np.array(CODEC_ORDER, object)
+        for rb in batches:
+            names = rb.schema.names
+            values, starts, lens_all = list_array_flat(
+                rb.column(names.index(tokens_col)), 4)
+            for i0, i1 in _mass_ranges(lens_all, max_batch_tokens):
+                n = i1 - i0
+                lens = lens_all[i0:i1]
+                # compact to one contiguous doc-major buffer (handles
+                # slices and null-doc gaps in the Arrow values buffer)
+                cflat = gather_ranges(values, starts[i0:i1], lens
+                                      ).view(np.uint32)
+                (pick, out, pbytes, bsz_all, nblocks, flags_all,
+                 fnbytes) = encode_docs_auto_flat(cflat, lens, params,
+                                                  allowed)
+                pay_off = np.zeros(n + 1, np.int32)
+                np.cumsum(pbytes, out=pay_off[1:])
+                payload = pa.BinaryArray.from_buffers(
+                    pa.binary(), n,
+                    [None, pa.py_buffer(pay_off), pa.py_buffer(out)])
+                blk_off = np.zeros(n + 1, np.int32)
+                np.cumsum(nblocks, out=blk_off[1:])
+                block_sizes = pa.ListArray.from_arrays(
+                    pa.array(blk_off, pa.int32()),
+                    pa.array(bsz_all.astype(np.int32), pa.int32()))
+                flg_off = np.zeros(n + 1, np.int32)
+                np.cumsum(fnbytes, out=flg_off[1:])
+                block_flags = pa.BinaryArray.from_buffers(
+                    pa.binary(), n,
+                    [None, pa.py_buffer(flg_off), pa.py_buffer(flags_all)])
+                arrays = [
+                    rb.column(names.index("doc_id")).slice(i0, n),
+                    rb.column(names.index("source")).slice(i0, n),
+                    pa.array(lens.astype(np.int32), pa.int32()),
+                    pa.array(nblocks.astype(np.int32), pa.int32()),
+                    block_sizes, block_flags, payload,
+                    pa.array(pbytes, pa.int64()),
+                    pa.array(lens * 4, pa.int64()),
+                    pa.array(codec_pool[pick]),
+                ]
+                out_names = ["doc_id", "source", "n_tok", "n_blocks",
+                             "block_sizes", "block_flags", "payload",
+                             "comp_bytes", "raw_bytes", "codec"]
+                for c in passthrough:
+                    arrays.append(rb.column(names.index(c)).slice(i0, n))
+                    out_names.append(c)
+                yield pa.RecordBatch.from_arrays(arrays, names=out_names)
 
     cols = ["doc_id", tokens_col, "source", *passthrough]
     schema = ENCODED_SCHEMA
@@ -244,7 +305,7 @@ def encode_auto(df: DataFrame, params: IbpParams,
             f"{f.name} {f.dataType.simpleString()}"
             for f in df.select(*passthrough).schema.fields)
         schema = f"{ENCODED_SCHEMA}, {extra}"
-    return df.select(*cols).mapInPandas(encoder, schema=schema)
+    return df.select(*cols).mapInArrow(encoder, schema=schema)
 
 
 def predicted_sizes_by_source(df: DataFrame, params: IbpParams,
@@ -286,53 +347,69 @@ def predicted_sizes_by_source(df: DataFrame, params: IbpParams,
 
 def decode_auto(df: DataFrame, params: IbpParams,
                 max_batch_tokens: int | None = None) -> DataFrame:
-    """Decode a mixed-codec encoded table (inverse of encode_auto)."""
+    """Decode a mixed-codec encoded table (inverse of encode_auto).
+
+    Runs as ``mapInArrow``: each codec group decodes from shared Arrow
+    buffers into one flat tokens buffer via offset-table scatters —
+    zero per-document Python."""
+    import pyarrow as pa
+
     mask, bitval, v = params.mask, params.bitval, params.vec_size
 
-    def decoder(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf0 in batches:
-          for pdf in split_by_token_mass(pdf0, "n_tok", max_batch_tokens):
-            ndocs = len(pdf)
-            lens = pdf["n_tok"].values.astype(np.int64)
-            codecs = pdf["codec"].values
-            toks: list = [None] * ndocs
-            for codec in np.unique(codecs):
-                docs = np.flatnonzero(codecs == codec)
-                if codec == "ibp":
-                    sub = decode_docs(
-                        lens[docs],
-                        [pdf["block_sizes"].values[i] for i in docs],
-                        [pdf["block_flags"].values[i] for i in docs],
-                        [pdf["payload"].values[i] for i in docs],
-                        mask, bitval, v)
-                    for k, dI in enumerate(docs):
-                        toks[dI] = sub[k]
-                elif codec == "raw":
-                    vals = np.frombuffer(
-                        b"".join(pdf["payload"].values[i] for i in docs),
-                        "<i4").astype(np.int32)
-                    voff = np.cumsum(lens[docs]) - lens[docs]
-                    for k, dI in enumerate(docs):
-                        toks[dI] = vals[voff[k]:voff[k] + lens[dI]]
-                else:
-                    blob = np.frombuffer(
-                        b"".join(pdf["payload"].values[i] for i in docs),
-                        np.uint8)
-                    bsz = np.array(
-                        [len(pdf["payload"].values[i]) for i in docs], np.int64)
-                    dec = getattr(lw, f"decode_{codec}")
-                    vals = dec(blob, bsz, lens[docs]).view(np.int32)
-                    voff = np.cumsum(lens[docs]) - lens[docs]
-                    for k, dI in enumerate(docs):
-                        toks[dI] = vals[voff[k]:voff[k] + lens[docs][k]]
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "tokens": toks,
-                "n_tok": pdf["n_tok"].astype("int32"),
-                "source": pdf["source"],
-            })
+    def decoder(batches) -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            names = rb.schema.names
+            n_tok_all = rb.column(names.index("n_tok")).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            codec_all = rb.column(names.index("codec")).to_numpy(
+                zero_copy_only=False)
+            for i0, i1 in _mass_ranges(n_tok_all, max_batch_tokens):
+                n = i1 - i0
+                sl = rb.slice(i0, n)
+                lens = n_tok_all[i0:i1]
+                codecs = codec_all[i0:i1]
+                pay_flat, pay_starts, pay_lens = binary_array_flat(
+                    sl.column(names.index("payload")))
+                tok_flat = np.zeros(int(lens.sum()), np.int32)
+                tok_starts = np.cumsum(lens) - lens
+                for codec in np.unique(codecs):
+                    docs = np.flatnonzero(codecs == codec)
+                    if codec == "ibp":
+                        bs_vals, bs_starts, bs_lens = list_array_flat(
+                            sl.column(names.index("block_sizes")), 4)
+                        sizes = gather_ranges(
+                            bs_vals, bs_starts[docs], bs_lens[docs])
+                        flags_flat, flags_starts, _ = binary_array_flat(
+                            sl.column(names.index("block_flags")))
+                        sub_flat, _ = decode_docs_flat(
+                            lens[docs], sizes, flags_flat,
+                            flags_starts[docs], pay_flat, pay_starts[docs],
+                            mask, bitval, v)
+                        vals = sub_flat.view(np.int32)
+                    elif codec == "raw":
+                        vals = np.ascontiguousarray(gather_ranges(
+                            pay_flat, pay_starts[docs], 4 * lens[docs])
+                        ).view("<i4").astype(np.int32)
+                    else:
+                        blob = gather_ranges(
+                            pay_flat, pay_starts[docs], pay_lens[docs])
+                        vals = getattr(lw, f"decode_{codec}")(
+                            blob, pay_lens[docs], lens[docs]).view(np.int32)
+                    lw._scatter_rows(tok_flat, tok_starts[docs], vals,
+                                     lens[docs])
+                tok_off = np.zeros(n + 1, np.int32)
+                np.cumsum(lens, out=tok_off[1:])
+                tokens = pa.ListArray.from_arrays(
+                    pa.array(tok_off, pa.int32()),
+                    pa.array(tok_flat, pa.int32()))
+                yield pa.RecordBatch.from_arrays(
+                    [sl.column(names.index("doc_id")),
+                     tokens,
+                     pa.array(lens.astype(np.int32), pa.int32()),
+                     sl.column(names.index("source"))],
+                    names=["doc_id", "tokens", "n_tok", "source"])
 
     schema = "doc_id string, tokens array<int>, n_tok int, source string"
     return df.select("doc_id", "codec", "n_blocks", "block_sizes",
                      "block_flags", "payload", "n_tok", "source"
-                     ).mapInPandas(decoder, schema=schema)
+                     ).mapInArrow(decoder, schema=schema)
