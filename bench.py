@@ -131,13 +131,19 @@ def main() -> None:
     extras["auto_decode_tokens_per_sec"] = round(
         adec_toks / timings["q3b_decode_auto"], 1)
 
-    # q4: full round-trip verification (encode+decode+join equality)
+    # q4: full round-trip verification — the scale-right shuffle-free
+    # pattern (the same XOR-fold the durable pipeline's checksum audit
+    # uses): both sides reduce to one 64-bit order-independent
+    # fingerprint of (doc_id, tokens), aggregated map-side, so the
+    # verify costs two narrow scans and ZERO shuffle instead of a
+    # corpus-wide join.  Equality => bit-identical corpus w.h.p.
     def run_verify():
-        dec = ibp.decode_ibp(enc_df, params)
-        bad = (toks.alias("a").join(dec.alias("b"), "doc_id")
-               .filter(F.col("a.tokens") != F.col("b.tokens")).count())
-        assert bad == 0, f"{bad} round-trip mismatches"
-        return bad
+        fold = F.expr("bit_xor(xxhash64(doc_id, cast(tokens as string)))")
+        src = toks.select("doc_id", "tokens").agg(fold).collect()[0][0]
+        dec = (ibp.decode_ibp(enc_df, params)
+               .select("doc_id", "tokens").agg(fold).collect()[0][0])
+        assert src == dec, "round-trip checksum mismatch"
+        return 0
 
     timed("q4_roundtrip_verify", run_verify)
 

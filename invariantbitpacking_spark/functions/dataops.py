@@ -206,51 +206,69 @@ def fnv1a64_words(words: np.ndarray) -> np.ndarray:
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document (word-level), via one Arrow-batched
-    Pandas UDF.  Word splitting runs JVM-side (``F.split``); inside the
-    UDF, unique words are FNV-1a-hashed once (:func:`fnv1a64_words`) and
-    the per-bit majority vote is 64 whole-batch bincounts — no
-    per-document, per-word, or per-character Python."""
+    """64-bit SimHash per document (word-level), via ``mapInArrow``.
+    Word splitting runs JVM-side (``F.split``); the UDF reads the
+    list<string> column's values buffer directly (no per-doc array
+    objects), unique words are FNV-1a-hashed once
+    (:func:`fnv1a64_words`) and the per-bit majority vote is 8
+    byte-table bincounts — no per-document, per-word, or per-character
+    Python."""
 
-    def sim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf0 in batches:
-          # bound the words x 64-bit vote working set per sub-batch
-          from ..operators.framing import split_by_token_mass
-          for pdf in split_by_token_mass(pdf0, "words", 2_000_000):
-            ndocs = len(pdf)
-            arrs = pdf["words"].values
-            lens = np.fromiter((len(a) for a in arrs), np.int64, count=ndocs)
-            total = int(lens.sum())
-            out = np.zeros(ndocs, np.uint64)
-            if total:
-                flat = np.concatenate([np.asarray(a, object) for a in arrs])
-                codes, uniq = pd.factorize(flat)
-                hw = fnv1a64_words(np.asarray(uniq, object))[codes]
-                doc_of = np.repeat(np.arange(ndocs), lens)
-                # per-bit majority vote, one byte group at a time: count
-                # (doc, byte-value) pairs with a bincount, fold through a
-                # 256x8 bit table — 8 O(words) passes instead of 64
-                bt = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
-                                   axis=1, bitorder="little").astype(np.int64)
-                hb = hw.astype("<u8", copy=False).view(np.uint8).reshape(-1, 8)
-                base = doc_of << np.int64(8)
-                for g in range(8):
-                    key = base | hb[:, g]
-                    cnt = np.bincount(
-                        key, minlength=ndocs * 256).reshape(ndocs, 256)
-                    ones = cnt @ bt  # [ndocs, 8] per-bit set counts
-                    vote = 2 * ones > lens[:, None]  # majority
-                    shifts = (np.arange(8, dtype=np.uint64)
-                              + np.uint64(8 * g))
-                    out |= (vote.astype(np.uint64) << shifts[None, :]
-                            ).sum(axis=1, dtype=np.uint64)
-            yield pd.DataFrame({"doc_id": pdf["doc_id"].astype(str),
-                                "simhash": out.view(np.int64)})
+    def sim(batches):
+        import pyarrow as pa
+
+        from ..operators.ibp import _mass_ranges
+        from ..operators.framing import gather_ranges
+
+        for rb in batches:
+            col = rb.column(1)
+            offsets = col.offsets.to_numpy().astype(np.int64)
+            values = col.values.to_numpy(zero_copy_only=False)  # object
+            starts_all = offsets[:-1]
+            lens_all = offsets[1:] - starts_all
+            if col.null_count:
+                nulls = col.is_null().to_numpy(zero_copy_only=False)
+                lens_all = np.where(nulls, 0, lens_all)
+            # bound the words x 64-bit vote working set per sub-batch
+            for i0, i1 in _mass_ranges(lens_all, 2_000_000):
+                ndocs = i1 - i0
+                lens = lens_all[i0:i1]
+                total = int(lens.sum())
+                out = np.zeros(ndocs, np.uint64)
+                if total:
+                    flat = gather_ranges(values, starts_all[i0:i1], lens)
+                    codes, uniq = pd.factorize(flat)
+                    hw = fnv1a64_words(np.asarray(uniq, object))[codes]
+                    doc_of = np.repeat(np.arange(ndocs), lens)
+                    # per-bit majority vote, one byte group at a time:
+                    # count (doc, byte-value) pairs with a bincount,
+                    # fold through a 256x8 bit table — 8 O(words)
+                    # passes instead of 64
+                    bt = np.unpackbits(
+                        np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1, bitorder="little").astype(np.int64)
+                    hb = hw.astype("<u8", copy=False).view(
+                        np.uint8).reshape(-1, 8)
+                    base = doc_of << np.int64(8)
+                    for g in range(8):
+                        key = base | hb[:, g]
+                        cnt = np.bincount(
+                            key, minlength=ndocs * 256).reshape(ndocs, 256)
+                        ones = cnt @ bt  # [ndocs, 8] per-bit set counts
+                        vote = 2 * ones > lens[:, None]  # majority
+                        shifts = (np.arange(8, dtype=np.uint64)
+                                  + np.uint64(8 * g))
+                        out |= (vote.astype(np.uint64) << shifts[None, :]
+                                ).sum(axis=1, dtype=np.uint64)
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(0).slice(i0, ndocs),
+                     pa.array(out.view(np.int64), pa.int64())],
+                    names=["doc_id", "simhash"])
 
     words = F.when(F.length("text") > 0, F.split("text", " ")
                    ).otherwise(F.array().cast("array<string>"))
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       words.alias("words")).mapInPandas(
+                       words.alias("words")).mapInArrow(
         sim, schema="doc_id string, simhash long")
 
 
