@@ -56,3 +56,40 @@ def run_incremental(spark: SparkSession, input_path: str,
     q = start_encode_stream(spark, input_path, output_path,
                             checkpoint_path, params, available_now=True)
     q.awaitTermination()
+
+
+ENCODED_DDL = ("doc_id string, source string, n_tok int, n_blocks int, "
+               "block_sizes array<int>, block_flags binary, payload binary, "
+               "comp_bytes long, raw_bytes long, codec string")
+
+
+def start_decode_stream(spark: SparkSession, input_path: str,
+                        output_path: str, checkpoint_path: str,
+                        params: IbpParams,
+                        available_now: bool = True) -> StreamingQuery:
+    """Streaming inverse of :func:`start_encode_stream`: encoded rows
+    landing under ``input_path`` decode back to token documents exactly
+    once.  Decode is the same stateless ``mapInArrow`` projection as
+    the batch path (operators/selector.decode_auto), so a consumer can
+    subscribe to a continuously-growing encoded corpus and materialize
+    tokens incrementally — the read side of a streaming ingest +
+    training-reader pair."""
+    stream = spark.readStream.schema(ENCODED_DDL).parquet(input_path)
+    dec = selector.decode_auto(stream, params)
+    writer = (dec.writeStream
+              .format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path)
+              .outputMode("append"))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_incremental_decode(spark: SparkSession, input_path: str,
+                           output_path: str, checkpoint_path: str,
+                           params: IbpParams) -> None:
+    """Process everything new under ``input_path`` once and stop."""
+    q = start_decode_stream(spark, input_path, output_path,
+                            checkpoint_path, params, available_now=True)
+    q.awaitTermination()

@@ -46,3 +46,29 @@ def test_incremental_encode_stream(spark, tmp_path, tokens_df):
     bad = (src.alias("a").join(dec.alias("b"), "doc_id")
            .filter(F.col("a.tokens") != F.col("b.tokens")).count())
     assert bad == 0
+
+
+def test_incremental_decode_stream(spark, tmp_path, tokens_df):
+    """Streaming decode round-trip: encode a batch corpus, stream-decode
+    it exactly once (AvailableNow), re-running processes nothing new,
+    and the streamed tokens checksum-match the source."""
+    from invariantbitpacking_spark.operators import ibp, selector
+    from invariantbitpacking_spark.streaming.encode_stream import (
+        run_incremental_decode)
+
+    params = ibp.learn_params(tokens_df, sample_fraction=0.5)
+    enc_dir = str(tmp_path / "enc")
+    out_dir = str(tmp_path / "dec")
+    ckpt = str(tmp_path / "ckpt_dec")
+    selector.encode_auto(tokens_df, params).write.parquet(enc_dir)
+
+    run_incremental_decode(spark, enc_dir, out_dir, ckpt, params)
+    dec = spark.read.parquet(out_dir)
+    assert dec.count() == tokens_df.count()
+    fold = F.expr("bit_xor(xxhash64(doc_id, cast(tokens as string)))")
+    src = tokens_df.select("doc_id", "tokens").agg(fold).collect()[0][0]
+    got = dec.select("doc_id", "tokens").agg(fold).collect()[0][0]
+    assert src == got
+    # exactly-once: a second AvailableNow run appends nothing
+    run_incremental_decode(spark, enc_dir, out_dir, ckpt, params)
+    assert spark.read.parquet(out_dir).count() == tokens_df.count()
