@@ -65,30 +65,14 @@ def generate_assets_df(spark: SparkSession, n: int = 300,
     return spark.createDataFrame(rows, ASSET_DDL)
 
 
-def _parse_header(payload: bytes):
-    if payload[:4] != MAGIC:
-        raise NotImplementedError(
-            "real media decoding is stubbed in this environment; "
-            "only the deterministic FAKE container is parseable")
-    kind = payload[4]
-    if kind in (0, 2):
-        w, h, fr = struct.unpack("<HHH", payload[5:11])
-        return kind, w, h, fr, 0, payload[11:]
-    sr, fr = struct.unpack("<IH", payload[5:11])
-    return kind, 0, 0, fr, sr, payload[11:]
-
-
-def _parse_headers_batch(payloads):
+def _parse_headers_flat(flat, starts, sizes):
     """Vectorized header parse for one Arrow batch of FAKE containers:
-    one buffer concat + fixed-offset arithmetic — no per-asset Python
-    (headers are fixed-width after the magic, so every field is a
-    strided u8 gather).  Returns (flat u8, starts, sizes, kind, w, h,
-    frames, sample_rate); body of asset i is flat[starts[i]+11 :
+    fixed-offset arithmetic over the shared payload buffer — no
+    per-asset Python (headers are fixed-width after the magic, so every
+    field is a strided u8 gather).  Returns (kind, w, h, frames,
+    sample_rate); body of asset i is flat[starts[i]+11 :
     starts[i]+sizes[i]]."""
-    n = len(payloads)
-    sizes = np.fromiter((len(p) for p in payloads), np.int64, count=n)
-    flat = np.frombuffer(b"".join(payloads), np.uint8)
-    starts = np.cumsum(sizes) - sizes
+    n = len(starts)
     magic = np.frombuffer(MAGIC, np.uint8)
     if n and not (flat[starts[:, None] + np.arange(4)] ==
                   magic[None, :]).all():
@@ -103,28 +87,34 @@ def _parse_headers_batch(payloads):
 
     z = np.zeros(0, np.int64)
     if not n:
-        return flat, starts, sizes, kind, z, z, z, z.copy()
+        return kind, z, z, z.copy(), z.copy()
     imgvid = kind != 1
     w = np.where(imgvid, u16(5), 0)
     h = np.where(imgvid, u16(7), 0)
     frames = u16(9)  # u16 at offset 9 in every container kind
     sr = np.where(imgvid, 0, u16(5) | (u16(7) << 16))
-    return flat, starts, sizes, kind, w, h, frames, sr
+    return kind, w, h, frames, sr
 
 
 def decode_and_featurize(assets: DataFrame, feat_dim: int = 16) -> DataFrame:
-    """Decode (stub) + per-asset feature extraction as one Arrow-batched
-    ``mapInPandas``: bodies become numpy arrays, features are
-    deterministic byte-histogram projections (a stand-in with the exact
-    batch shape a real embedding model UDF would have)."""
+    """Decode (stub) + per-asset feature extraction as one
+    ``mapInArrow`` pass: payloads are consumed as one shared Arrow
+    buffer + offsets, features are deterministic byte-histogram
+    projections emitted as one flat float buffer (a stand-in with the
+    exact batch shape a real embedding model UDF would have)."""
 
-    def fx(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fx(batches):
+        import pyarrow as pa
+
         from ..operators.framing import gather_ranges
+        from ..operators.ibp import binary_array_flat
 
-        for pdf in batches:
-            n = len(pdf)
-            flat, starts, sizes, kind, w, h, fr, sr = _parse_headers_batch(
-                list(pdf["payload"].values))
+        for rb in batches:
+            names = rb.schema.names
+            n = rb.num_rows
+            flat, starts, sizes = binary_array_flat(
+                rb.column(names.index("payload")))
+            kind, w, h, fr, sr = _parse_headers_flat(flat, starts, sizes)
             body_len = sizes - 11
             # all bodies' histograms in ONE bincount over a combined
             # (asset, byte % feat_dim) key — no per-asset Python
@@ -135,31 +125,43 @@ def decode_and_featurize(assets: DataFrame, feat_dim: int = 16) -> DataFrame:
                 n, feat_dim) if n else np.zeros((0, feat_dim), np.int64)
             feats = (hist / np.maximum(body_len, 1)[:, None]).astype(
                 np.float32)
-            yield pd.DataFrame({
-                "asset_id": pdf["asset_id"],
-                "kind": pdf["kind"],
-                "decoded_w": pd.array(w.astype("int32"), dtype="int32"),
-                "decoded_h": pd.array(h.astype("int32"), dtype="int32"),
-                "body_bytes": pd.array(body_len, dtype="int64"),
-                "features": list(feats),
-            })
+            f_off = np.arange(n + 1, dtype=np.int32) * feat_dim
+            features = pa.ListArray.from_arrays(
+                pa.array(f_off, pa.int32()),
+                pa.array(feats.reshape(-1), pa.float32()))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(names.index("asset_id")),
+                 rb.column(names.index("kind")),
+                 pa.array(w.astype(np.int32), pa.int32()),
+                 pa.array(h.astype(np.int32), pa.int32()),
+                 pa.array(body_len, pa.int64()),
+                 features],
+                names=["asset_id", "kind", "decoded_w", "decoded_h",
+                       "body_bytes", "features"])
 
     schema = ("asset_id string, kind string, decoded_w int, decoded_h int, "
               "body_bytes long, features array<float>")
-    return assets.select("asset_id", "kind", "payload").mapInPandas(fx, schema=schema)
+    return assets.select("asset_id", "kind", "payload").mapInArrow(
+        fx, schema=schema)
 
 
 def sample_video_frames(assets: DataFrame, every: int = 2) -> DataFrame:
     """Frame sampling for video assets: emit one row per kept frame
-    (1:N mapInPandas fan-out — the batch shape of a real frame
-    extractor)."""
+    (1:N ``mapInArrow`` fan-out — the batch shape of a real frame
+    extractor).  Kept frames leave as ONE gathered buffer wrapped in a
+    zero-copy BinaryArray."""
 
-    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fs(batches):
+        import pyarrow as pa
+
         from ..operators.framing import gather_ranges
+        from ..operators.ibp import binary_array_flat
 
-        for pdf in batches:
-            flat, starts, sizes, kind, w, h, fr, _ = _parse_headers_batch(
-                list(pdf["payload"].values))
+        for rb in batches:
+            names = rb.schema.names
+            flat, starts, sizes = binary_array_flat(
+                rb.column(names.index("payload")))
+            kind, w, h, fr, _ = _parse_headers_flat(flat, starts, sizes)
             vsel = np.flatnonzero(kind == 2)
             wh = (w * h)[vsel]
             nkeep = -(-fr[vsel] // every)
@@ -167,18 +169,24 @@ def sample_video_frames(assets: DataFrame, every: int = 2) -> DataFrame:
             # gather of every kept frame's bytes (no per-video Python)
             vid_of = np.repeat(np.arange(vsel.size), nkeep)
             keep_start = np.cumsum(nkeep) - nkeep
-            fidx = (np.arange(int(nkeep.sum()))
+            total_keep = int(nkeep.sum())
+            fidx = (np.arange(total_keep)
                     - np.repeat(keep_start, nkeep)) * every
             fstarts = starts[vsel][vid_of] + 11 + fidx * wh[vid_of]
             flens = wh[vid_of]
             buf = gather_ranges(flat, fstarts, flens)
-            boff = np.cumsum(flens) - flens
-            yield pd.DataFrame({
-                "asset_id": pdf["asset_id"].values[vsel][vid_of],
-                "frame_idx": pd.array(fidx.astype("int32"), dtype="int32"),
-                "frame": [buf[o:o + m].tobytes()
-                          for o, m in zip(boff.tolist(), flens.tolist())],
-            })
+            b_off = np.zeros(total_keep + 1, np.int32)
+            np.cumsum(flens, out=b_off[1:])
+            frame = pa.BinaryArray.from_buffers(
+                pa.binary(), total_keep,
+                [None, pa.py_buffer(b_off), pa.py_buffer(buf)])
+            ids = rb.column(names.index("asset_id")).take(
+                pa.array(vsel[vid_of], pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [ids,
+                 pa.array(fidx.astype(np.int32), pa.int32()),
+                 frame],
+                names=["asset_id", "frame_idx", "frame"])
 
-    return assets.select("asset_id", "payload").mapInPandas(
+    return assets.select("asset_id", "payload").mapInArrow(
         fs, schema="asset_id string, frame_idx int, frame binary")
