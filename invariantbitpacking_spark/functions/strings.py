@@ -11,10 +11,7 @@ per-batch table, which makes FSST-lite a *storable* codec.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame
 
@@ -52,40 +49,63 @@ def _schema_with(df: DataFrame, cols, new_type: str) -> str:
 def encode_string_cols(df: DataFrame, table: np.ndarray,
                        cols=("doc_id", "source")) -> DataFrame:
     """Replace string columns with their FSST-encoded binary twins
-    (same names).  One Arrow-batched pass; the table is closure-borne."""
+    (same names).  One ``mapInArrow`` pass: each column's UTF-8 bytes
+    are read straight from the Arrow values buffer (possibly
+    non-contiguous after slicing — compacted with one gather) and the
+    encoded bytes leave as a zero-copy BinaryArray; the table is
+    closure-borne."""
     cols = tuple(c for c in cols if c in df.columns)
 
-    def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf.copy()
-            for c in cols:
-                texts = pdf[c].fillna("").astype(str).tolist()
-                flat, lens = fsst.strings_to_flat(texts)
-                e, el = fsst.encode_strings(flat, lens, table)
-                off = np.cumsum(el) - el
-                out[c] = [e[o:o + n].tobytes()
-                          for o, n in zip(off, el)]
-            yield out
+    def enc(batches):
+        import pyarrow as pa
 
-    return df.mapInPandas(enc, schema=_schema_with(df, cols, "binary"))
+        from ..operators.framing import gather_ranges
+        from ..operators.ibp import binary_array_flat
+
+        for rb in batches:
+            names = rb.schema.names
+            arrays = list(rb.columns)
+            n = rb.num_rows
+            for c in cols:
+                i = names.index(c)
+                flat, starts, lens = binary_array_flat(arrays[i])
+                flat = gather_ranges(flat, starts, lens)  # compact
+                e, el = fsst.encode_strings(flat, lens, table)
+                e_off = np.zeros(n + 1, np.int32)
+                np.cumsum(el, out=e_off[1:])
+                arrays[i] = pa.BinaryArray.from_buffers(
+                    pa.binary(), n,
+                    [None, pa.py_buffer(e_off), pa.py_buffer(e)])
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(enc, schema=_schema_with(df, cols, "binary"))
 
 
 def decode_string_cols(df: DataFrame, table: np.ndarray,
                        cols=("doc_id", "source")) -> DataFrame:
-    """Inverse of :func:`encode_string_cols`."""
+    """Inverse of :func:`encode_string_cols` (``mapInArrow``; decoded
+    UTF-8 leaves as a zero-copy StringArray)."""
     cols = tuple(c for c in cols if c in df.columns)
 
-    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = pdf.copy()
-            for c in cols:
-                blobs = [bytes(b) if b is not None else b""
-                         for b in pdf[c].values]
-                enc_lens = np.fromiter((len(b) for b in blobs), np.int64,
-                                       count=len(blobs))
-                flat = np.frombuffer(b"".join(blobs), np.uint8)
-                d, dl = fsst.decode_strings(flat, enc_lens, table)
-                out[c] = fsst.flat_to_strings(d, dl)
-            yield out
+    def dec(batches):
+        import pyarrow as pa
 
-    return df.mapInPandas(dec, schema=_schema_with(df, cols, "string"))
+        from ..operators.framing import gather_ranges
+        from ..operators.ibp import binary_array_flat
+
+        for rb in batches:
+            names = rb.schema.names
+            arrays = list(rb.columns)
+            n = rb.num_rows
+            for c in cols:
+                i = names.index(c)
+                flat, starts, lens = binary_array_flat(arrays[i])
+                flat = gather_ranges(flat, starts, lens)  # compact
+                d, dl = fsst.decode_strings(flat, lens, table)
+                d_off = np.zeros(n + 1, np.int32)
+                np.cumsum(dl, out=d_off[1:])
+                arrays[i] = pa.StringArray.from_buffers(
+                    n, pa.py_buffer(d_off), pa.py_buffer(d))
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(dec, schema=_schema_with(df, cols, "string"))

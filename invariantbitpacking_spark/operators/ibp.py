@@ -11,7 +11,7 @@ Spark-first re-expression of the reference's three hot entry points
   swept thresholds simultaneously (check_feats, :54-77) — strictly
   fewer scans than the reference's 1 + |grid| kernel launches.
 - :func:`encode_ibp` == ``compress_condensed`` (src/compress.cu:238-313):
-  an Arrow-batched ``mapInPandas`` projection producing per-document
+  an Arrow-native ``mapInArrow`` projection producing per-document
   binary payloads; no shuffle, no driver collection.
 - :func:`decode_ibp` == ``decompress_fetch`` (src/decompress.cu:10-142):
   the inverse projection; gather-by-id variants compose with a plain

@@ -7,7 +7,7 @@ files under the input path are discovered, encoded, and appended to
 the sink exactly once (checkpoint-tracked offsets — the streaming
 analog of the batch pipeline's lineage resume).
 
-The encode itself is the stateless ``mapInPandas`` projection from
+The encode itself is the stateless ``mapInArrow`` projection from
 operators/selector.py, which Structured Streaming runs unchanged; with
 ``Trigger.AvailableNow`` the same job doubles as an incremental batch
 backfill.
