@@ -145,13 +145,23 @@ def test_ann_exact_matches_numpy(spark):
 
 
 def test_ann_lsh_recall(spark):
+    """Recall pins (all deterministic: hyperplanes are seeded): the
+    measured 8x4 recall is 0.675 — floor set at 0.6; doubling the
+    table count must not lose recall (candidate sets union, measured
+    0.875 at 16 tables)."""
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     exact = dataops.ann_cosine_topk(emb, num_queries=8, k=5)
-    approx = dataops.ann_lsh_topk(emb, num_queries=8, k=5, planes=4, num_tables=8)
     e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
-    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
-    recall = len(e & a) / len(e)
-    assert recall >= 0.4, recall  # 8 tables x 4 planes: union recall
+    approx = dataops.ann_lsh_topk(emb, num_queries=8, k=5, planes=4,
+                                  num_tables=8)
+    a8 = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall8 = len(e & a8) / len(e)
+    assert recall8 >= 0.6, recall8
+    a16 = {(r["q_id"], r["vec_id"])
+           for r in dataops.ann_lsh_topk(emb, num_queries=8, k=5, planes=4,
+                                         num_tables=16).collect()}
+    recall16 = len(e & a16) / len(e)
+    assert recall16 >= recall8, (recall16, recall8)
 
 
 def test_embedding_dup_pairs_planted(spark):

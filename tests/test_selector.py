@@ -98,3 +98,46 @@ def test_encode_auto_refuses_int64(spark):
     # the sanctioned 64-bit path round-trips the same rows
     dec = ibp.decode_ibp(ibp.encode_ibp(df, params), params).collect()
     assert list(dec[0]["tokens"]) == [2**40 + 5, 7]
+
+
+def test_auto_roundtrip_with_forced_sub_batching_and_nulls(spark, params):
+    """Tiny token-mass sub-batches force the arrow UDFs to slice every
+    RecordBatch (non-zero array offsets on ListArray/BinaryArray) with
+    null and empty docs interleaved; results must byte-match the
+    unsplit path and round-trip exactly."""
+    import numpy as np
+
+    from invariantbitpacking_spark.operators import selector
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(150):
+        if i % 29 == 0:
+            rows.append((f"d{i:03d}", None, 0, "edge"))
+        elif i % 13 == 0:
+            rows.append((f"d{i:03d}", [], 0, "edge"))
+        else:
+            n = int(rng.integers(1, 400))
+            kind = i % 4
+            if kind == 0:      # constant -> rle
+                vals = [7] * n
+            elif kind == 1:    # sorted -> dfor
+                vals = np.cumsum(rng.integers(0, 9, n)).tolist()
+            elif kind == 2:    # small range -> for/dict
+                vals = rng.integers(100, 140, n).tolist()
+            else:              # wide random -> raw/ibp
+                vals = rng.integers(0, 2**30, n).tolist()
+            rows.append((f"d{i:03d}", vals, n, "edge"))
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string")
+    enc = selector.encode_auto(df, params, max_batch_tokens=900)
+    a = {r["doc_id"]: (bytes(r["payload"]), r["codec"])
+         for r in enc.collect()}
+    b = {r["doc_id"]: (bytes(r["payload"]), r["codec"])
+         for r in selector.encode_auto(df, params).collect()}
+    assert a == b  # sub-batching never changes bytes or codec choice
+    dec = {r["doc_id"]: list(r["tokens"]) for r in selector.decode_auto(
+        selector.encode_auto(df, params, max_batch_tokens=900), params,
+        max_batch_tokens=900).collect()}
+    for doc_id, vals, n, _ in rows:
+        assert dec[doc_id] == (vals if vals else []), doc_id
