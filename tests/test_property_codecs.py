@@ -66,3 +66,61 @@ def test_fsst_roundtrip(strings):
     enc, enc_lens = fsst.encode_strings(flat, lens, table)
     dec, dec_lens = fsst.decode_strings(enc, enc_lens, table)
     assert fsst.flat_to_strings(dec, dec_lens) == strings
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_gather_and_scatter_adaptive_match_naive(data):
+    """gather_ranges/_scatter_rows pick between a vectorized index path
+    and a per-run memcpy path (with adjacent-run coalescing and
+    zero-length filtering); every strategy must agree with the naive
+    slice loop on arbitrary run patterns — including empty runs,
+    adjacent runs, repeated source ranges, and large runs that cross
+    the 1 KiB memcpy threshold."""
+    import numpy as np
+
+    from invariantbitpacking_spark.codecs.lightweight import _scatter_rows
+    from invariantbitpacking_spark.operators.framing import gather_ranges
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    nsrc = data.draw(st.integers(1, 5000))
+    flat = rng.integers(0, 256, nsrc).astype(np.uint8)
+    nruns = data.draw(st.integers(0, 40))
+    lens, starts = [], []
+    adjacent = data.draw(st.booleans())  # bias toward coalescible runs
+    pos = int(rng.integers(0, max(nsrc // 2, 1)))
+    for _ in range(nruns):
+        n = int(rng.choice([0, 1, 3, 17, 900, 2100]))
+        n = min(n, nsrc)
+        if adjacent and rng.random() < 0.7:
+            s = min(pos, nsrc - n)
+        else:
+            s = int(rng.integers(0, nsrc - n + 1))
+        starts.append(s)
+        lens.append(n)
+        pos = s + n
+    starts = np.array(starts, np.int64)
+    lens = np.array(lens, np.int64)
+
+    naive = (np.concatenate([flat[s:s + n] for s, n in zip(starts, lens)])
+             if lens.sum() else flat[:0])
+    got = gather_ranges(flat, starts, lens)
+    np.testing.assert_array_equal(got, naive)
+
+    # scatter: place the gathered rows at fresh destinations
+    total = int(lens.sum())
+    out_sz = total + int(rng.integers(0, 64))
+    dst = np.zeros(out_sz, np.uint8)
+    # destination starts: a random non-overlapping layout
+    order = rng.permutation(len(lens))
+    d_starts = np.zeros(len(lens), np.int64)
+    cur = 0
+    for i in order:
+        d_starts[i] = cur
+        cur += int(lens[i])
+    expect = np.zeros(out_sz, np.uint8)
+    off = np.cumsum(lens) - lens
+    for i in range(len(lens)):
+        expect[d_starts[i]:d_starts[i] + lens[i]] = naive[off[i]:off[i] + lens[i]]
+    _scatter_rows(dst, d_starts, naive, lens)
+    np.testing.assert_array_equal(dst, expect)
