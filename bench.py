@@ -138,7 +138,7 @@ def main() -> None:
     # verify costs two narrow scans and ZERO shuffle instead of a
     # corpus-wide join.  Equality => bit-identical corpus w.h.p.
     def run_verify():
-        fold = F.expr("bit_xor(xxhash64(doc_id, cast(tokens as string)))")
+        fold = F.expr("bit_xor(xxhash64(doc_id, tokens))")
         src = toks.select("doc_id", "tokens").agg(fold).collect()[0][0]
         dec = (ibp.decode_ibp(enc_df, params)
                .select("doc_id", "tokens").agg(fold).collect()[0][0])

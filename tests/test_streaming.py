@@ -65,7 +65,7 @@ def test_incremental_decode_stream(spark, tmp_path, tokens_df):
     run_incremental_decode(spark, enc_dir, out_dir, ckpt, params)
     dec = spark.read.parquet(out_dir)
     assert dec.count() == tokens_df.count()
-    fold = F.expr("bit_xor(xxhash64(doc_id, cast(tokens as string)))")
+    fold = F.expr("bit_xor(xxhash64(doc_id, tokens))")
     src = tokens_df.select("doc_id", "tokens").agg(fold).collect()[0][0]
     got = dec.select("doc_id", "tokens").agg(fold).collect()[0][0]
     assert src == got
