@@ -740,6 +740,35 @@ def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "decoded_w", "body_bytes", *h)
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over driver data: each document's text
+    bytes become the body of a FAKE video container (w=4, h=2, up to 9
+    frames of 8 bytes each), and ``sample_video_frames(every=2)``
+    extracts every other frame as binary.  The oracle recomputes the
+    kept frame indices and the exact frame bytes with substr over the
+    same ASCII text — verifying the header parse, the kept-frame
+    offset arithmetic, and the byte gather end to end."""
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    docs = (_docs(spark, sf_dir)
+            .select(F.col("doc_id").cast("string").alias("asset_id"), "text")
+            .filter(F.length("text") >= 16))
+    fr = F.least(F.floor(F.length("text") / 8), F.lit(9)).cast("int")
+    # FAKE video header: kind=2, w=4, h=2 (<HH LE), frames=<H LE with
+    # fr <= 9 so both header bytes stay ASCII-safe (lo=fr, hi=0)
+    payload = F.concat(
+        F.lit(b"FAKE\x02\x04\x00\x02\x00"),
+        F.encode(F.chr(fr), "utf-8"), F.lit(b"\x00"),
+        F.encode(F.expr(
+            "substring(text, 1, 8 * least(floor(length(text)/8), 9))"),
+            "utf-8"))
+    assets = docs.select("asset_id", payload.alias("payload"))
+    frames = mm.sample_video_frames(assets, every=2)
+    return frames.select(F.col("asset_id").alias("doc_id"),
+                         "frame_idx",
+                         F.decode("frame", "utf-8").alias("frame_str"))
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invariantbitpacking_spark.functions.dataops import lang_id
 
@@ -786,6 +815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "multimodal_featurize": q_multimodal_featurize,
+        "multimodal_frames": q_multimodal_frames,
         "fsst_roundtrip": q_fsst_roundtrip,
     }
 
@@ -1198,6 +1228,18 @@ def oracle_sql() -> dict[str, str]:
                         i -> ascii(text[CAST(i AS INT)]) % 16 = 3))
                         AS BIGINT) AS hist3
             FROM t
+        """,
+        "multimodal_frames": """
+            WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                              LEAST(CAST(floor(length(text) / 8) AS INT), 9)
+                              AS fr
+                       FROM documents WHERE length(text) >= 16),
+            k AS (SELECT doc_id, text,
+                         UNNEST(range(0, fr, 2)) AS fi FROM v)
+            SELECT doc_id,
+                   CAST(fi AS INT) AS frame_idx,
+                   substr(text, CAST(fi * 8 + 1 AS INT), 8) AS frame_str
+            FROM k
         """,
         "lang_id": """
             WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
