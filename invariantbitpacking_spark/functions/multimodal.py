@@ -20,10 +20,8 @@ Fake container format (deterministic, self-describing):
 from __future__ import annotations
 
 import struct
-from typing import Iterator
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -31,7 +31,6 @@ from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
@@ -40,7 +39,7 @@ from ..codecs.lightweight import _scatter_rows
 from ..codecs.numpy_ref import popcount32
 from .framing import (FramedBatch, VEC_SIZE, frame_batch, frame_batch_flat,
                       gather_ranges, list_array_flat, unframe_flat)
-from .ibp import (IbpParams, _elem_bytes, _mass_ranges, binary_array_flat)
+from .ibp import _elem_bytes, _mass_ranges, binary_array_flat
 
 
 def _cluster_counts_batches(batches, centroids, vec_size):
