@@ -40,6 +40,20 @@ def learn_table_df(df: DataFrame, cols=("doc_id", "source"),
     return fsst.build_table(flat[:sample_bytes])
 
 
+def _offsets32(byte_lens: np.ndarray, n: int) -> np.ndarray:
+    """int32 Arrow offset buffer from per-row byte lengths, guarded:
+    a batch whose total bytes exceed INT32_MAX would silently wrap the
+    offsets and corrupt the output array."""
+    off = np.zeros(n + 1, np.int64)
+    np.cumsum(byte_lens, out=off[1:])
+    if off[-1] > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"string batch holds {int(off[-1])} bytes, over the 2 GiB "
+            "Arrow int32-offset limit; lower "
+            "spark.sql.execution.arrow.maxRecordsPerBatch")
+    return off.astype(np.int32)
+
+
 def _schema_with(df: DataFrame, cols, new_type: str) -> str:
     return ", ".join(
         f"{f.name} {new_type if f.name in cols else f.dataType.simpleString()}"
@@ -71,8 +85,7 @@ def encode_string_cols(df: DataFrame, table: np.ndarray,
                 flat, starts, lens = binary_array_flat(arrays[i])
                 flat = gather_ranges(flat, starts, lens)  # compact
                 e, el = fsst.encode_strings(flat, lens, table)
-                e_off = np.zeros(n + 1, np.int32)
-                np.cumsum(el, out=e_off[1:])
+                e_off = _offsets32(el, n)
                 arrays[i] = pa.BinaryArray.from_buffers(
                     pa.binary(), n,
                     [None, pa.py_buffer(e_off), pa.py_buffer(e)])
@@ -102,8 +115,7 @@ def decode_string_cols(df: DataFrame, table: np.ndarray,
                 flat, starts, lens = binary_array_flat(arrays[i])
                 flat = gather_ranges(flat, starts, lens)  # compact
                 d, dl = fsst.decode_strings(flat, lens, table)
-                d_off = np.zeros(n + 1, np.int32)
-                np.cumsum(dl, out=d_off[1:])
+                d_off = _offsets32(dl, n)
                 arrays[i] = pa.StringArray.from_buffers(
                     n, pa.py_buffer(d_off), pa.py_buffer(d))
             yield pa.RecordBatch.from_arrays(arrays, names=names)

@@ -167,13 +167,36 @@ def list_array_flat(col, itemsize: int = 4):
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     offsets = col.offsets.to_numpy().astype(np.int64)
-    values = col.values.to_numpy(zero_copy_only=False)
     starts = offsets[:-1]
     lens = offsets[1:] - starts
     if col.null_count:
         nulls = col.is_null().to_numpy(zero_copy_only=False)
         lens = np.where(nulls, 0, lens)
     sdt = SIGNED_DT[itemsize]
+    values_arr = col.values
+    if values_arr.null_count:
+        # Null ELEMENTS in the child buffer make to_numpy fall back to
+        # float64+NaN, and viewing that as int silently corrupts every
+        # token after the first null.  A null inside a live document
+        # window is real (Spark allows array<int> element nulls) but
+        # meaningless to a token codec -> fail loudly.  Nulls outside
+        # every window (slice artifacts) are zero-filled and harmless.
+        null_pos = np.flatnonzero(
+            values_arr.is_null().to_numpy(zero_copy_only=False))
+        if null_pos.size and starts.size:
+            doc = np.searchsorted(starts, null_pos, "right") - 1
+            doc = np.maximum(doc, 0)
+            if ((null_pos >= starts[doc]) &
+                    (null_pos < starts[doc] + lens[doc])).any():
+                raise ValueError(
+                    "tokens arrays contain null elements; null-free "
+                    "array<int> input is required for encoding")
+        values_arr = values_arr.fill_null(0)
+    values = values_arr.to_numpy(zero_copy_only=False)
+    if values.dtype.kind not in "iu" or values.dtype.itemsize != itemsize:
+        raise ValueError(
+            f"token values decoded to {values.dtype}, expected a "
+            f"{itemsize}-byte integer dtype")
     return np.ascontiguousarray(values).view(sdt), starts, lens
 
 

@@ -214,13 +214,19 @@ def encode_docs_auto_flat(flat: np.ndarray, lens: np.ndarray,
 
     # flat block-size table: single-block docs carry their payload
     # bytes; ibp docs scatter their per-block sizes
+    # zero-extent docs (0 blocks / 0 flag bytes, possible when an empty
+    # doc lands on a zero-block codec) must be masked out of the fancy
+    # writes: their start equals the NEXT doc's start (duplicate index,
+    # order-dependent) and for the LAST doc it equals len(buf) (OOB).
     blk_start = np.cumsum(nblocks_out) - nblocks_out
     bsz_all = np.zeros(int(nblocks_out.sum()), np.int64)
-    bsz_all[blk_start] = pbytes  # single-block default (overwritten below)
+    mb = nblocks_out > 0
+    bsz_all[blk_start[mb]] = pbytes[mb]  # single-block default (ibp overwritten below)
     # flat per-doc flag bitmaps: constants for single-block codecs
     flag_off = np.cumsum(fnbytes) - fnbytes
     flags_all = np.zeros(int(fnbytes.sum()), np.uint8)
-    flags_all[flag_off] = flag_const
+    mf = fnbytes > 0
+    flags_all[flag_off[mf]] = flag_const[mf]
     if ibp_blocks is not None:
         docs, bsz_flat, nb, flags_packed, flag_nb = ibp_blocks
         lw._scatter_rows(bsz_all, blk_start[docs], bsz_flat, nb)
