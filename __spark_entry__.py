@@ -253,6 +253,7 @@ def q_condensed_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     base offsets, then cumsum locally inside each partition — every
     stage stays parallel.  (Rows-only check: sizes depend on the
     learned mask; byte exactness is pytest-gated.)"""
+    import numpy as np
     import pandas as pd
 
     from invariantbitpacking_spark.operators import ibp
@@ -261,34 +262,58 @@ def q_condensed_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     params = _params(spark, sf_dir)
     enc = ibp.encode_ibp(toks, params)
     nparts = max(spark.sparkContext.defaultParallelism, 2)
+    # Deterministic range buckets from a seeded sample — what Spark's
+    # RangePartitioner does internally, made REPRODUCIBLE so the totals
+    # pass and the scan pass agree on partition membership without
+    # caching anything (the old persist() here pinned a CacheManager
+    # entry for the session's lifetime).  The sample collect is bounded
+    # (~nparts*100 ids), same cost class as RangePartitioner's own
+    # driver-side sketch.
+    ids = sorted(r[0] for r in toks.select("doc_id")
+                 .sample(fraction=min(1.0, 4096 / max(toks.count(), 1)),
+                         seed=7)
+                 .limit(nparts * 128).collect())
+    step = max(len(ids) // nparts, 1)
+    bounds = ids[step::step][:nparts - 1]
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col("doc_id") > F.lit(b)).cast("int")
     sized = (enc.select("doc_id", "comp_bytes")
-             .repartitionByRange(nparts, "doc_id")
-             .sortWithinPartitions("doc_id")
-             .withColumn("pid", F.spark_partition_id())
-             .persist())
-    totals = {r["pid"]: r["t"] for r in
+             .withColumn("pid", pid.cast("int")))
+    totals = {r["pid"]: int(r["t"]) for r in
               sized.groupBy("pid").agg(F.sum("comp_bytes").alias("t"))
               .collect()}
     bases, acc = {}, 0
-    for p in range(nparts):
+    for p in range(len(bounds) + 1):
         bases[p] = acc
-        acc += int(totals.get(p, 0))
+        acc += totals.get(p, 0)
 
     def scan(batches):
-        run = None
+        run: dict[int, int] = {}
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            if run is None:
-                run = bases.get(int(pdf["pid"].iloc[0]), 0)
-            ends = run + pdf["comp_bytes"].cumsum()
-            run = int(ends.iloc[-1])
+            cb = pdf["comp_bytes"].to_numpy(np.int64)
+            pids = pdf["pid"].to_numpy()
+            ends = np.empty(len(pdf), np.int64)
+            grp = np.flatnonzero(np.r_[True, pids[1:] != pids[:-1]])
+            for s, e in zip(grp.tolist(),
+                            np.r_[grp[1:], len(pdf)].tolist()):
+                p = int(pids[s])
+                base = run.get(p, bases.get(p, 0))
+                ends[s:e] = base + np.cumsum(cb[s:e])
+                run[p] = int(ends[e - 1])
             yield pd.DataFrame({"doc_id": pdf["doc_id"],
                                 "comp_bytes": pdf["comp_bytes"],
-                                "end_offset": ends.astype("int64")})
+                                "end_offset": ends})
 
-    return sized.mapInPandas(
-        scan, schema="doc_id string, comp_bytes long, end_offset long")
+    # each pid lives in exactly one partition; rows sorted by doc_id
+    # within it -> per-group local cumsum + broadcast base = global scan
+    return (sized.repartition(nparts, "pid")
+            .sortWithinPartitions("pid", "doc_id")
+            .mapInPandas(
+                scan, schema="doc_id string, comp_bytes long, "
+                             "end_offset long"))
 
 
 def _tokens64(spark: SparkSession, sf_dir: str) -> DataFrame:
