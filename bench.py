@@ -84,8 +84,12 @@ def main() -> None:
     n_docs, n_tokens = toks.agg(
         F.count(F.lit(1)), F.sum("n_tok")).collect()[0]
 
-    # q1: parameter learning (2 distributed scans + driver sweep)
-    params = timed("q1_learn_params", lambda: ibp.learn_params(toks))
+    # q1: parameter learning — exact bit-count scan + θ-selection
+    # evaluation on a 25% seeded sample (the reference's sample-fitting
+    # protocol, tests/sens_sweep.py:20-24; candidate masks stay exact,
+    # pinned equal to the full run in tests/test_sensitivity.py)
+    params = timed("q1_learn_params",
+                   lambda: ibp.learn_params(toks, eval_sample_fraction=0.25))
 
     # q2: encode (the headline); one untimed warm-up spins up the
     # Python workers and JIT so the measurement is compute, not startup

@@ -370,11 +370,23 @@ def ann_lsh_topk(emb: DataFrame, num_queries: int = 8, k: int = 5,
 
 def _ivf_centroids(e: DataFrame, nlist: int, iters: int, seed: int,
                    sample_rows: int) -> np.ndarray:
-    """Spherical k-means coarse quantizer learned driver-side on an
-    ordered sample (deterministic), centroids unit-normalized.  The
-    IVF index layer of a vector store: tiny (nlist x dim), broadcast
-    into every assign/search closure."""
-    pdf = e.orderBy("vec_id").limit(max(sample_rows, 8 * nlist)).toPandas()
+    """Spherical k-means coarse quantizer learned driver-side on a
+    seeded UNIFORM sample (deterministic given the partition layout),
+    centroids unit-normalized.  A head-of-table sample (orderBy+limit)
+    would train the quantizer on one modality of an ingest-ordered
+    corpus; ``df.sample`` draws across the whole table — the pattern
+    learn_params already uses (ibp.py).  The IVF index layer of a
+    vector store: tiny (nlist x dim), broadcast into every
+    assign/search closure."""
+    n = max(sample_rows, 8 * nlist)
+    total = e.count()
+    frac = min(1.0, 3.0 * n / max(total, 1))
+    pdf = (e.sample(fraction=frac, seed=seed) if frac < 1.0 else e
+           ).orderBy("vec_id").toPandas()
+    if len(pdf) > n:  # seeded uniform thinning, NOT a head slice
+        keep = np.sort(np.random.default_rng(seed).choice(
+            len(pdf), n, replace=False))
+        pdf = pdf.iloc[keep]
     V = np.stack([np.asarray(v, np.float64) for v in pdf["v"].values])
     V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

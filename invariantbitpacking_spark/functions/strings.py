@@ -28,11 +28,23 @@ def table_from_hex(s: str) -> np.ndarray:
 
 def learn_table_df(df: DataFrame, cols=("doc_id", "source"),
                    sample_rows: int = 2048,
-                   sample_bytes: int = 1_000_000) -> np.ndarray:
-    """Learn one global symbol table from a driver-side sample of the
-    given string columns.  Deterministic: ordered by the first column
-    before the limit (a bare limit is partition-order dependent)."""
-    pdf = df.select(*cols).orderBy(cols[0]).limit(sample_rows).toPandas()
+                   sample_bytes: int = 1_000_000,
+                   seed: int = 11) -> np.ndarray:
+    """Learn one global symbol table from a driver-side SEEDED UNIFORM
+    sample of the given string columns — a head-of-table slice would
+    fit the table to one modality of an ingest-ordered corpus.
+    Deterministic: seeded Bernoulli sample, then ordered by the first
+    column (a bare limit is partition-order dependent)."""
+    total = df.count()
+    frac = min(1.0, 3.0 * sample_rows / max(total, 1))
+    src = df.select(*cols)
+    if frac < 1.0:
+        src = src.sample(fraction=frac, seed=seed)
+    pdf = src.orderBy(cols[0]).limit(3 * sample_rows).toPandas()
+    if len(pdf) > sample_rows:  # seeded uniform thinning, NOT a head slice
+        keep = np.sort(np.random.default_rng(seed).choice(
+            len(pdf), sample_rows, replace=False))
+        pdf = pdf.iloc[keep]
     texts: list[str] = []
     for c in cols:
         texts.extend(pdf[c].fillna("").astype(str).tolist())

@@ -212,12 +212,23 @@ def _gated_savings(mat: np.ndarray, mask: np.ndarray, bitval: np.ndarray,
 def learn_params(df: DataFrame, tokens_col: str = "tokens",
                  vec_size: int = VEC_SIZE, threshold: float | None = None,
                  sample_fraction: float | None = None,
+                 eval_sample_fraction: float | None = None,
                  seed: int = 42) -> IbpParams:
     """Learn (mask, bitval) over the whole table (or a sample — the
     reference's sens_sweep fits on a prefix sample, tests/sens_sweep.py:
-    20-24; ``df.sample`` is the distribution-safe analog)."""
+    20-24; ``df.sample`` is the distribution-safe analog).
+
+    ``eval_sample_fraction`` samples ONLY the θ-selection evaluation
+    pass while the bit-count pass stays exact: the candidate
+    (mask, bitval) per θ are then identical to the full run and the
+    sample merely votes on which θ wins — a far gentler approximation
+    than sampling the counts, and the cheap way to cut the evaluator
+    (the |grid|-way gated-savings scan) on large corpora."""
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
+    eval_df = df
+    if eval_sample_fraction is not None and eval_sample_fraction < 1.0:
+        eval_df = df.sample(fraction=eval_sample_fraction, seed=seed + 1)
     ib = _elem_bytes(df, tokens_col)
     w = ib * 8
     udt = UNSIGNED_DT[ib]
@@ -268,7 +279,7 @@ def learn_params(df: DataFrame, tokens_col: str = "tokens",
                     names=["ti", "saved"])
 
     ev = (
-        df.select(tokens_col)
+        eval_df.select(tokens_col)
         .mapInArrow(evaluator, schema="ti int, saved long")
         .groupBy("ti").agg(F.sum("saved").alias("saved"))
         .collect()
@@ -286,6 +297,10 @@ def learn_params(df: DataFrame, tokens_col: str = "tokens",
     if best_g is None:
         z = np.zeros(vec_size, udt)
         return IbpParams(z, z.copy(), vec_size, None, 0, num_vecs)
+    if eval_sample_fraction is not None and eval_sample_fraction < 1.0:
+        # saved_bits is lineage provenance; scale the sampled sum back
+        # to a corpus-level estimate
+        best_saved = int(best_saved / eval_sample_fraction)
     return IbpParams(masks[best_g].copy(), bitvals[best_g].copy(), vec_size,
                      float(grid[best_g]), best_saved, num_vecs)
 

@@ -150,17 +150,31 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
     # Spark analog of that residency).
     toks = df.select(tokens_col).persist()
 
-    # ---- init: k blocks from a tiny driver-side sample ------------------
-    # Spark's bare limit() is partition-order dependent; order by doc_id
-    # when available so the seeded choice is stable across partition
-    # layouts (the reference's std::random_shuffle is seeded by srand in
-    # the same spirit, ibp_preproc_host.cuh:176-188).
+    # ---- init: k blocks from a tiny driver-side seeded sample -----------
+    # Uniform across the table, not a head slice: an ingest-ordered
+    # corpus would otherwise seed every centroid from one modality.
+    # Deterministic: seeded Bernoulli sample, then ordered by doc_id so
+    # the local rng.choice below sees a stable row order (the
+    # reference's std::random_shuffle is seeded by srand in the same
+    # spirit, ibp_preproc_host.cuh:176-188).
+    n_seed_rows = max(4 * k, 64)
+    total = df.count()
+    frac = min(1.0, 3.0 * n_seed_rows / max(total, 1))
+    seed_src = (df.select("doc_id", tokens_col) if "doc_id" in df.columns
+                else df.select(tokens_col))
+    if frac < 1.0:
+        seed_src = seed_src.sample(fraction=frac, seed=seed)
     if "doc_id" in df.columns:
-        sample_rows = (df.select("doc_id", tokens_col)
-                       .orderBy("doc_id").limit(max(4 * k, 64)).toPandas())
-    else:
-        sample_rows = toks.limit(max(4 * k, 64)).toPandas()
+        seed_src = seed_src.orderBy("doc_id")
+    sample_rows = seed_src.limit(3 * n_seed_rows).toPandas()
     fb0 = frame_batch(sample_rows[tokens_col].values, vec_size)
+    if fb0.full_mat.shape[0] < k and frac < 1.0:
+        # sampling undershot (short docs / binomial variance): retry
+        # over the full table before giving up
+        retry = (df.select("doc_id", tokens_col).orderBy("doc_id")
+                 if "doc_id" in df.columns else df.select(tokens_col))
+        sample_rows = retry.limit(3 * n_seed_rows).toPandas()
+        fb0 = frame_batch(sample_rows[tokens_col].values, vec_size)
     if fb0.full_mat.shape[0] < k:
         toks.unpersist()
         raise ValueError(f"need >= {k} full blocks to seed {k} centroids")

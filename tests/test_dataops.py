@@ -238,3 +238,48 @@ def test_minhash_big_bucket_wave2_recovers_hub_dissimilar_pairs(spark):
     # hub-dissimilar docs never pair with the flood (exact verify holds)
     assert not any("x1" in p or "y1" in p for p in flood)
     assert ("a00", "x1") not in out and ("a00", "y1") not in out
+
+
+def test_ivf_quantizer_sees_every_modality(spark):
+    """Head-of-table vs seeded-sample regression (round-3 verdict
+    "What's wrong" #3): corpus ordered so every low vec_id is modality
+    A and every high vec_id is modality B.  A head-slice quantizer
+    would never place a centroid near B; the seeded uniform sample
+    must."""
+    rng = np.random.default_rng(5)
+    dim = 16
+    a = rng.normal(0, 0.05, (300, dim)) + np.r_[np.ones(dim // 2),
+                                                np.zeros(dim // 2)]
+    b = rng.normal(0, 0.05, (300, dim)) + np.r_[np.zeros(dim // 2),
+                                                -np.ones(dim // 2)]
+    rows = ([(i, [float(x) for x in a[i]]) for i in range(300)] +
+            [(300 + i, [float(x) for x in b[i]]) for i in range(300)])
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    cents = dataops._ivf_centroids(emb, nlist=4, iters=5, seed=42,
+                                   sample_rows=64)
+    bn = b[0] / np.linalg.norm(b[0])
+    # at least one centroid points at modality B (cosine > 0.9)
+    assert (cents @ bn).max() > 0.9, (cents @ bn)
+
+
+def test_kmeans_seeding_sees_every_modality(spark):
+    """learn_kmeans centroid seeding must draw from the whole table:
+    doc_id order puts all modality-A docs first."""
+    from invariantbitpacking_spark.operators import kmeans as km
+
+    rng = np.random.default_rng(6)
+    rows = []
+    for i in range(120):
+        rows.append((f"a{i:04d}",
+                     [int(x) for x in rng.integers(0, 256, 128)]))
+    for i in range(120):
+        rows.append((f"z{i:04d}",
+                     [int(x) for x in (rng.integers(0, 256, 128)
+                                       + (7 << 20))]))
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    kp = km.learn_kmeans(df, k=2, iters=4, seed=1)
+    # the two modalities differ in high bits; per-cluster bitvals must
+    # capture BOTH patterns (head-only seeding would start both
+    # centroids inside modality A)
+    high = {int(bv[0]) >> 20 for bv in kp.bitvals}
+    assert high == {0, 7}, high

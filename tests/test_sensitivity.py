@@ -19,6 +19,20 @@ def test_sampled_learning_close_to_full(spark, tokens_df):
     assert b_samp <= b_full * 1.05, (b_samp, b_full)
 
 
+def test_eval_sampled_learning_identical_params(spark, tokens_df):
+    """bench.py q1 runs the θ-selection evaluation on a 25% seeded
+    sample with EXACT bit counts: candidate masks per θ are identical
+    to the full run, so if the sample votes the same θ the returned
+    params are bit-identical — pinned here on the bench corpus."""
+    import numpy as np
+
+    full = ibp.learn_params(tokens_df)
+    fast = ibp.learn_params(tokens_df, eval_sample_fraction=0.25)
+    assert fast.threshold == full.threshold
+    assert np.array_equal(fast.mask, full.mask)
+    assert np.array_equal(fast.bitval, full.bitval)
+
+
 def test_fixed_threshold_override(spark, tokens_df):
     # on the compressible vocab32k slice theta=0.9 has real savings
     vocab = tokens_df.filter("source = 'vocab32k'")
