@@ -189,7 +189,10 @@ def q_auto_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_codec_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-codec document counts and byte accounting from the
-    auto-selector (rows-only check; exact sizes are pytest-verified)."""
+    auto-selector.  FULL oracle: the DuckDB twin replays the complete
+    closed-form argmin — IBP's learned mask + §1.4 size formula
+    (_ibp_replay_cte) against the lightweight-codec size formulas —
+    so codec choice AND emitted byte totals are hash-gated."""
     from invariantbitpacking_spark.operators import ibp, selector
 
     toks = _tokens(spark, sf_dir)
@@ -251,8 +254,10 @@ def q_condensed_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnels every row through ONE task): range-partition by doc_id,
     collect one byte-total row per partition, turn those into broadcast
     base offsets, then cumsum locally inside each partition — every
-    stage stays parallel.  (Rows-only check: sizes depend on the
-    learned mask; byte exactness is pytest-gated.)"""
+    stage stays parallel.  FULL oracle: the DuckDB twin replays mask
+    learning + the §1.4 size formula per block and window-cumsums in
+    doc_id order (_ibp_replay_cte), so every byte offset is
+    hash-gated."""
     import numpy as np
     import pandas as pd
 
@@ -593,8 +598,9 @@ def q_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_codec_sizes_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicted bytes of EVERY codec per source (Table-4 analog:
     IBP invariance savings vs bitpack baselines, reference
-    tests/invariance_perc.py:27-76); rows-only check, sizes are
-    pytest-exact."""
+    tests/invariance_perc.py:27-76).  FULL oracle: all six codecs'
+    per-source byte totals are recomputed closed-form in DuckDB
+    (_ibp_replay_cte + _LW_CTE) and hash-gated."""
     from invariantbitpacking_spark.operators.selector import (
         predicted_sizes_by_source)
 
@@ -646,6 +652,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(_docs(spark, sf_dir))
 
 
+def q_simhash_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-gated companion of ``simhash``: the SAME mapInArrow
+    pass additionally emits per-doc word and distinct-word counts —
+    exactly the quantities the majority vote and factorize stages
+    consume — which DuckDB recomputes independently.  The mod-2^64
+    FNV-1a chain itself stays rows-only in the ``simhash`` twin."""
+    from invariantbitpacking_spark.functions.dataops import simhash64
+
+    return (simhash64(_docs(spark, sf_dir), with_counts=True)
+            .select("doc_id", "n_words", "n_uniq"))
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invariantbitpacking_spark.functions.dataops import ann_cosine_topk
 
@@ -683,6 +701,22 @@ def q_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     p = embedding_dup_pairs(emb, threshold=0.9)
+    return p.select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
+
+
+def q_embedding_dup_pairs_lowt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-trivial twin of embedding_dup_pairs: threshold 0.45 sits
+    INSIDE the corpus's similarity range (max pairwise cosine ~0.51),
+    so the brute-force DuckDB oracle checks a non-empty exact pair set
+    — this green row proves recall AND precision on real data, not
+    just no-false-positives.  planes=2 x 12 tables pushes the per-pair
+    all-tables-miss probability at cosine 0.45 to ~1.4e-3; with the
+    seed-stable hyperplanes the outcome is deterministic and verified
+    equal to brute force at both sf dirs."""
+    from invariantbitpacking_spark.functions.dataops import embedding_dup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = embedding_dup_pairs(emb, threshold=0.45, planes=2, num_tables=12)
     return p.select("vec_a", "vec_b", F.round("sim", 6).alias("sim"))
 
 
@@ -831,10 +865,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "simhash_shape": q_simhash_shape,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_dup_pairs": q_embedding_dup_pairs,
+        "embedding_dup_pairs_lowt": q_embedding_dup_pairs_lowt,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
         "doc_fingerprint": q_doc_fingerprint,
@@ -851,8 +887,223 @@ _TOK = (
 )
 
 
+def _grid_f32():
+    """The reference's float32-accumulated threshold grid
+    (ibp_preproc_host.cuh:67), replicated exactly (numpy_ref.
+    sweep_thresholds) so the SQL replay sweeps the identical θ values."""
+    import numpy as np
+
+    out = []
+    t = np.float32(0.7)
+    while np.float64(t) <= 1.0:
+        out.append(t)
+        t = np.float32(t + np.float32(0.05))
+    return out
+
+
+def _ibp_replay_cte(tok_expr: str = _TOK, v: int = 128,
+                    table: str = "documents") -> str:
+    """CTE chain that replays the ENTIRE closed-form IBP parameter
+    learning and size computation in pure SQL, ending in
+    ``docsz(doc_id, source, n, ibp_bytes)``:
+
+    - ragged 128-token framing (full blocks + prefix tails);
+    - per-(column, bit) set counts with per-column block coverage
+      (count_bit_kernel, ibp_preproc_kernels.cuh:8-31);
+    - create_mask's mixed float32/float64 strict thresholds over the
+      exact float32 sweep grid (ibp_preproc_kernels.cuh:34-51,
+      numpy_ref.create_mask);
+    - check_feats' header-gated savings and the strict-argmax /
+      earlier-tie threshold selection (ibp_preproc_kernels.cuh:54-77,
+      ibp_preproc_host.cuh:92-95);
+    - the §1.4 per-block size formula with both alignments and the
+      never-expand clamp (ibp_misc_dev.cuh:20-46).
+
+    This makes the learned mask itself oracle-checked: any divergence
+    in counts, threshold arithmetic, gating, or byte math breaks the
+    downstream hash compare."""
+    import numpy as np
+
+    thetas = _grid_f32()
+    tvals = ", ".join(
+        f"({gi}, CAST({float(t)!r} AS FLOAT), "
+        f"CAST({float(np.float64(1.0) - np.float64(t))!r} AS DOUBLE))"
+        for gi, t in enumerate(thetas))
+    return f"""
+t AS (SELECT doc_id, source, {tok_expr} AS toks FROM {table}),
+blk AS (
+  SELECT doc_id, source,
+         UNNEST(range(CAST(ceil(len(toks) / {v}.0) AS BIGINT))) AS b,
+         toks, len(toks) AS n
+  FROM t WHERE len(toks) > 0
+),
+blk2 AS (
+  SELECT doc_id, source, b,
+         toks[(b * {v} + 1):CAST(LEAST((b + 1) * {v}, n) AS BIGINT)] AS bt,
+         CAST(LEAST({v}, n - b * {v}) AS BIGINT) AS L
+  FROM blk
+),
+elems AS (
+  SELECT doc_id, b, L,
+         CAST(UNNEST(bt) AS BIGINT) & 4294967295 AS uval,
+         UNNEST(range(len(bt))) AS j
+  FROM blk2
+),
+counts AS (
+  SELECT j, bit, SUM((uval >> bit) & 1) AS cnt, COUNT(*) AS nj
+  FROM elems, (SELECT UNNEST(range(32)) AS bit) bits
+  GROUP BY j, bit
+),
+grid(gi, thr32, lo64) AS (VALUES {tvals}),
+maskbits AS (
+  SELECT g.gi, c.j, c.bit,
+         (CAST(c.cnt AS FLOAT) > g.thr32 * CAST(c.nj AS FLOAT)) AS hi,
+         (CAST(c.cnt AS DOUBLE) < g.lo64 * CAST(c.nj AS DOUBLE)) AS lo
+  FROM counts c, grid g
+),
+colmask AS (
+  SELECT gi, j,
+         SUM(CASE WHEN hi OR lo THEN (CAST(1 AS BIGINT) << bit)
+                  ELSE 0 END) AS mask,
+         SUM(CASE WHEN hi THEN (CAST(1 AS BIGINT) << bit)
+                  ELSE 0 END) AS bitval,
+         SUM(CASE WHEN hi OR lo THEN 1 ELSE 0 END) AS popc
+  FROM maskbits GROUP BY gi, j
+),
+blksave AS (
+  SELECT m.gi, e.doc_id, e.b, e.L,
+         SUM(CASE WHEN (e.uval & m.mask) = m.bitval
+                  THEN m.popc ELSE 0 END) AS saved
+  FROM elems e JOIN colmask m ON m.j = e.j
+  GROUP BY m.gi, e.doc_id, e.b, e.L
+),
+gsum AS (
+  SELECT gi, SUM(CASE WHEN saved > L THEN saved - L ELSE 0 END) AS gated
+  FROM blksave GROUP BY gi
+),
+best AS (
+  SELECT gi FROM gsum WHERE gated > 0
+  ORDER BY gated DESC, gi ASC LIMIT 1
+),
+bsize AS (
+  SELECT s.doc_id, s.b, s.L,
+         CASE WHEN EXISTS (SELECT 1 FROM best)
+           THEN LEAST(
+             CAST(ceil(CAST((s.L + 7) // 8 AS DOUBLE) / 4) AS BIGINT) * 4
+             + CAST(ceil(CAST(4 * s.L - s.saved // 8 AS DOUBLE) / 4)
+                    AS BIGINT) * 4,
+             4 * s.L)
+           ELSE 4 * s.L END AS bytes
+  FROM blksave s
+  WHERE s.gi = coalesce((SELECT gi FROM best), 0)
+),
+docsz AS (
+  SELECT t.doc_id, t.source, len(t.toks) AS n,
+         coalesce(x.bytes, 0) AS ibp_bytes
+  FROM t LEFT JOIN (SELECT doc_id, SUM(bytes) AS bytes FROM bsize
+                    GROUP BY doc_id) x USING (doc_id)
+)"""
+
+
+# Per-document closed-form sizes of the lightweight codec family
+# (selector.predict_sizes semantics: FOR/DFOR chunked minimal widths,
+# RLE run count, DICT u16-capped cardinality) — the same formulas the
+# codec_choice_by_source oracle replays, kept per-doc for reuse.
+_LW_CTE = """
+lw AS (
+  SELECT doc_id, source, len(toks) AS n,
+         4 * len(toks) AS sz_raw,
+         5 + CAST(ceil(len(toks) / 8.0) AS BIGINT) *
+             (CASE WHEN list_max(toks) = list_min(toks) THEN 0
+                   ELSE length(bin(CAST(list_max(toks) - list_min(toks)
+                                        AS BIGINT))) END) AS sz_for,
+         9 + CAST(ceil(len(toks) / 8.0) AS BIGINT) * LEAST(
+             (CASE WHEN
+                 GREATEST(toks[1], coalesce(list_max(list_transform(
+                    range(2, len(toks) + 1),
+                    i -> toks[CAST(i AS INT)] - toks[CAST(i AS INT) - 1]
+                 )), toks[1]))
+                 - LEAST(toks[1], coalesce(list_min(list_transform(
+                    range(2, len(toks) + 1),
+                    i -> toks[CAST(i AS INT)] - toks[CAST(i AS INT) - 1]
+                 )), toks[1])) = 0 THEN 0
+               ELSE length(bin(CAST(
+                 GREATEST(toks[1], coalesce(list_max(list_transform(
+                    range(2, len(toks) + 1),
+                    i -> toks[CAST(i AS INT)] - toks[CAST(i AS INT) - 1]
+                 )), toks[1]))
+                 - LEAST(toks[1], coalesce(list_min(list_transform(
+                    range(2, len(toks) + 1),
+                    i -> toks[CAST(i AS INT)] - toks[CAST(i AS INT) - 1]
+                 )), toks[1])) AS BIGINT))) END), 32) AS sz_dfor,
+         4 + 8 * (1 + len(list_filter(range(2, len(toks) + 1),
+             i -> toks[CAST(i AS INT)] != toks[CAST(i AS INT) - 1]
+         ))) AS sz_rle,
+         len(list_distinct(toks)) AS card,
+         4 + 4 * len(list_distinct(toks)) +
+             CAST(ceil(len(toks) / 8.0) AS BIGINT) *
+             (CASE WHEN len(list_distinct(toks)) <= 1 THEN 0
+                   ELSE length(bin(CAST(len(list_distinct(toks)) - 1
+                                        AS BIGINT))) END) AS sz_dict
+  FROM t
+),
+allsz AS (
+  SELECT l.*, d.ibp_bytes AS sz_ibp
+  FROM lw l JOIN docsz d USING (doc_id)
+)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "condensed_offsets": "WITH " + _ibp_replay_cte() + """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(ibp_bytes AS BIGINT) AS comp_bytes,
+                   CAST(SUM(ibp_bytes) OVER (
+                        ORDER BY CAST(doc_id AS VARCHAR)
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS end_offset
+            FROM docsz
+        """,
+        "codec_sizes_by_source": (
+            "WITH " + _ibp_replay_cte() + "," + _LW_CTE + """
+            , cells AS (
+              SELECT source, 'raw' AS codec, sz_raw AS bytes FROM allsz
+              UNION ALL SELECT source, 'ibp', sz_ibp FROM allsz
+              UNION ALL SELECT source, 'for', sz_for FROM allsz
+              UNION ALL SELECT source, 'dfor', sz_dfor FROM allsz
+              UNION ALL SELECT source, 'rle', sz_rle FROM allsz
+              UNION ALL SELECT source, 'dict', sz_dict FROM allsz
+                        WHERE card <= 65535
+            )
+            SELECT source, codec, CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+                   COUNT(*) AS docs
+            FROM cells GROUP BY source, codec
+        """),
+        "codec_mix": (
+            "WITH " + _ibp_replay_cte() + "," + _LW_CTE + """
+            , pick AS (
+              SELECT source, sz_raw,
+                     CASE  -- argmin with CODEC_ORDER tie priority
+                       WHEN sz_raw <= LEAST(sz_ibp, d2, sz_rle, sz_dfor,
+                                            sz_for) THEN 'raw'
+                       WHEN sz_ibp <= LEAST(d2, sz_rle, sz_dfor, sz_for)
+                         THEN 'ibp'
+                       WHEN d2 <= LEAST(sz_rle, sz_dfor, sz_for) THEN 'dict'
+                       WHEN sz_rle <= LEAST(sz_dfor, sz_for) THEN 'rle'
+                       WHEN sz_dfor <= sz_for THEN 'dfor'
+                       ELSE 'for'
+                     END AS codec,
+                     LEAST(sz_raw, sz_ibp, d2, sz_rle, sz_dfor, sz_for)
+                       AS bytes
+              FROM (SELECT *, CASE WHEN card > 65535
+                                   THEN 9223372036854775807
+                                   ELSE sz_dict END AS d2 FROM allsz)
+            )
+            SELECT codec, COUNT(*) AS docs,
+                   CAST(SUM(sz_raw) AS BIGINT) AS raw_bytes,
+                   CAST(SUM(bytes) AS BIGINT) AS comp_bytes
+            FROM pick GROUP BY codec ORDER BY codec
+        """),
         "tokenize_documents": f"""
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CAST(len(toks) AS INT) AS n_tok,
@@ -1183,6 +1434,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+        """,
+        "embedding_dup_pairs_lowt": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings)
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        """,
+        "simhash_shape": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(CASE WHEN length(text) > 0
+                             THEN len(string_split(text, ' '))
+                             ELSE 0 END AS BIGINT) AS n_words,
+                   CAST(CASE WHEN length(text) > 0
+                             THEN len(list_distinct(string_split(text, ' ')))
+                             ELSE 0 END AS BIGINT) AS n_uniq
+            FROM documents
         """,
         "text_quality": """
             WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,

@@ -203,14 +203,19 @@ def fnv1a64_words(words: np.ndarray) -> np.ndarray:
     return h
 
 
-def simhash64(docs: DataFrame) -> DataFrame:
+def simhash64(docs: DataFrame, with_counts: bool = False) -> DataFrame:
     """64-bit SimHash per document (word-level), via ``mapInArrow``.
     Word splitting runs JVM-side (``F.split``); the UDF reads the
     list<string> column's values buffer directly (no per-doc array
     objects), unique words are FNV-1a-hashed once
     (:func:`fnv1a64_words`) and the per-bit majority vote is 8
     byte-table bincounts — no per-document, per-word, or per-character
-    Python."""
+    Python.
+
+    ``with_counts`` also emits per-doc word and distinct-word counts
+    from the SAME pass — the SQL-computable companions that let a
+    DuckDB oracle hash-gate this query's checkable half (the mod-2^64
+    FNV-1a chain itself is not SQL-expressible)."""
 
     def sim(batches):
         import pyarrow as pa
@@ -233,11 +238,21 @@ def simhash64(docs: DataFrame) -> DataFrame:
                 lens = lens_all[i0:i1]
                 total = int(lens.sum())
                 out = np.zeros(ndocs, np.uint64)
+                nuniq = np.zeros(ndocs, np.int64)
                 if total:
                     flat = gather_ranges(values, starts_all[i0:i1], lens)
                     codes, uniq = pd.factorize(flat)
                     hw = fnv1a64_words(np.asarray(uniq, object))[codes]
                     doc_of = np.repeat(np.arange(ndocs), lens)
+                    if with_counts:
+                        key = ((doc_of.astype(np.uint64) << np.uint64(32))
+                               | codes.astype(np.uint64))
+                        key.sort(kind="stable")
+                        new = np.ones(total, bool)
+                        new[1:] = key[1:] != key[:-1]
+                        nuniq = np.bincount(
+                            (key[new] >> np.uint64(32)).astype(np.int64),
+                            minlength=ndocs).astype(np.int64)
                     # per-bit majority vote, one byte group at a time:
                     # count (doc, byte-value) pairs with a bincount,
                     # fold through a 256x8 bit table — 8 O(words)
@@ -258,16 +273,25 @@ def simhash64(docs: DataFrame) -> DataFrame:
                                   + np.uint64(8 * g))
                         out |= (vote.astype(np.uint64) << shifts[None, :]
                                 ).sum(axis=1, dtype=np.uint64)
-                yield pa.RecordBatch.from_arrays(
-                    [rb.column(0).slice(i0, ndocs),
-                     pa.array(out.view(np.int64), pa.int64())],
-                    names=["doc_id", "simhash"])
+                if with_counts:
+                    yield pa.RecordBatch.from_arrays(
+                        [rb.column(0).slice(i0, ndocs),
+                         pa.array(out.view(np.int64), pa.int64()),
+                         pa.array(lens, pa.int64()),
+                         pa.array(nuniq, pa.int64())],
+                        names=["doc_id", "simhash", "n_words", "n_uniq"])
+                else:
+                    yield pa.RecordBatch.from_arrays(
+                        [rb.column(0).slice(i0, ndocs),
+                         pa.array(out.view(np.int64), pa.int64())],
+                        names=["doc_id", "simhash"])
 
     words = F.when(F.length("text") > 0, F.split("text", " ")
                    ).otherwise(F.array().cast("array<string>"))
+    schema = ("doc_id string, simhash long, n_words long, n_uniq long"
+              if with_counts else "doc_id string, simhash long")
     return docs.select(F.col("doc_id").cast("string").alias("doc_id"),
-                       words.alias("words")).mapInArrow(
-        sim, schema="doc_id string, simhash long")
+                       words.alias("words")).mapInArrow(sim, schema=schema)
 
 
 # ---------------------------------------------------------------------------
