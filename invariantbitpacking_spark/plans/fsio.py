@@ -1,0 +1,74 @@
+"""Driver-side metadata I/O through the Hadoop FileSystem API.
+
+The pipeline's compute plans are object-store ready (everything rides
+``spark.read``/``DataFrame.write``), but its METADATA layer — params
+JSON, the FSST table, staging ``_SUCCESS`` probes, wave-directory
+listings, staging cleanup — previously used the local-FS Python API
+(``os.path`` / ``open`` / ``shutil``), which breaks the moment
+``output_dir`` is an ``s3a://`` or ``hdfs://`` URI.  These helpers
+route every such call through ``org.apache.hadoop.fs.FileSystem``
+resolved from the session's Hadoop configuration, so an object-store
+target is a config change, not a code change.  (Reference analog: the
+one I/O surface we replaced, ``read_shared``'s mmap loader,
+src/ibp_api.cu:51-121.)
+
+Only JDK / Hadoop classes are touched (no optional jars): streams are
+drained with ``org.apache.hadoop.io.IOUtils.copyBytes`` into a
+``java.io.ByteArrayOutputStream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+class HadoopFS:
+    """Thin py4j wrapper over the FileSystem owning a given path."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._path(base_path).getFileSystem(self._conf)
+
+    def _path(self, p: str):
+        return self._jvm.org.apache.hadoop.fs.Path(p)
+
+    # -- predicates ------------------------------------------------------
+
+    def exists(self, p: str) -> bool:
+        return bool(self._fs.exists(self._path(p)))
+
+    # -- whole-file text I/O ----------------------------------------------
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._path(p))
+        try:
+            out = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, out, 65536, False)
+            return out.toString("UTF-8")
+        finally:
+            stream.close()
+
+    def write_text_atomic(self, p: str, text: str) -> None:
+        """Write-to-temp + rename — same commit discipline the local
+        code used with ``os.replace``.  Object-store renames are not
+        atomic in the POSIX sense, but the tmp-file pattern still
+        guarantees no reader ever sees a partially written file at the
+        final path."""
+        target = self._path(p)
+        self._fs.mkdirs(target.getParent())
+        tmp = self._path(p + ".tmp")
+        stream = self._fs.create(tmp, True)
+        try:
+            stream.write(bytearray(text.encode("utf-8")))
+        finally:
+            stream.close()
+        if self._fs.exists(target):
+            self._fs.delete(target, False)
+        self._fs.rename(tmp, target)
+
+    # -- tree ops ----------------------------------------------------------
+
+    def delete(self, p: str, recursive: bool = True) -> bool:
+        return bool(self._fs.delete(self._path(p), recursive))

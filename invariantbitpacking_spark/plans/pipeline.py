@@ -26,7 +26,6 @@ memory, SURVEY.md §1.5); this layer is new work per BASELINE.json.
 from __future__ import annotations
 
 import json
-import os
 import time
 from dataclasses import dataclass
 
@@ -35,6 +34,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..functions import strings as fstr
 from ..operators import selector
 from ..operators.ibp import IbpParams, learn_params
+from .fsio import HadoopFS
+
+
+def _join(*parts: str) -> str:
+    """Scheme-safe path join (os.path.join is local-FS thinking; this
+    works for file:/, hdfs://, s3a:// and bare paths alike)."""
+    return "/".join([parts[0].rstrip("/")] +
+                    [p.strip("/") for p in parts[1:]])
 
 LINEAGE_SCHEMA = (
     "snapshot_id string, bucket int, status string, docs long, "
@@ -65,9 +72,12 @@ class CompressionPipeline:
                  allowed=selector.CODEC_ORDER):
         self.spark = spark
         self.output_dir = output_dir
-        self.data_dir = os.path.join(output_dir, "encoded")
-        self.lineage_dir = os.path.join(output_dir, "lineage")
-        self.params_dir = os.path.join(output_dir, "params")
+        self.data_dir = _join(output_dir, "encoded")
+        self.lineage_dir = _join(output_dir, "lineage")
+        self.params_dir = _join(output_dir, "params")
+        # ALL driver-side metadata I/O goes through the Hadoop
+        # FileSystem owning output_dir — file:, hdfs:, s3a:, ... alike
+        self.fs = HadoopFS(spark, output_dir)
         self.num_buckets = num_buckets
         self.wave_buckets = wave_buckets
         self.sample_fraction = sample_fraction
@@ -95,16 +105,11 @@ class CompressionPipeline:
         """Codec parameters are part of the snapshot's lineage: learned
         once (on a sample), persisted, and reloaded on resume so every
         wave encodes with identical params."""
-        path = os.path.join(self.params_dir, f"{snapshot_id}.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                return IbpParams.from_dict(json.load(f))
+        path = _join(self.params_dir, f"{snapshot_id}.json")
+        if self.fs.exists(path):
+            return IbpParams.from_dict(json.loads(self.fs.read_text(path)))
         params = learn_params(toks, sample_fraction=self.sample_fraction)
-        os.makedirs(self.params_dir, exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(params.to_dict(), f)
-        os.replace(tmp, path)
+        self.fs.write_text_atomic(path, json.dumps(params.to_dict()))
         return params
 
     def load_or_learn_fsst(self, toks: DataFrame):
@@ -113,21 +118,18 @@ class CompressionPipeline:
         hex): every snapshot's string columns encode against it, so any
         read of the encoded table — including multi-snapshot reads —
         stays decodable with a single stored table."""
-        path = os.path.join(self.params_dir, "fsst_table.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                return fstr.table_from_hex(json.load(f)["hex"])
+        path = _join(self.params_dir, "fsst_table.json")
+        if self.fs.exists(path):
+            return fstr.table_from_hex(
+                json.loads(self.fs.read_text(path))["hex"])
         table = fstr.learn_table_df(toks, ("doc_id", "source"))
-        os.makedirs(self.params_dir, exist_ok=True)
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            # format_version marks the FSST-encoded string-column layout
-            # (v2); data dirs written before it carry plain strings and
-            # no table file — read_encoded detects both
-            json.dump({"hex": fstr.table_to_hex(table),
-                       "symbols": int(table.size),
-                       "format_version": 2}, f)
-        os.replace(tmp, path)
+        # format_version marks the FSST-encoded string-column layout
+        # (v2); data dirs written before it carry plain strings and
+        # no table file — read_encoded detects both
+        self.fs.write_text_atomic(path, json.dumps(
+            {"hex": fstr.table_to_hex(table),
+             "symbols": int(table.size),
+             "format_version": 2}))
         return table
 
     # -- staging -------------------------------------------------------------
@@ -139,8 +141,8 @@ class CompressionPipeline:
         without this, each wave would rescan the whole 100 TB input
         because ``bucket`` is computed, not a prunable column.
         Idempotent per snapshot (_SUCCESS marker)."""
-        staging = os.path.join(self.output_dir, "staging", snapshot_id)
-        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+        staging = _join(self.output_dir, "staging", snapshot_id)
+        if self.fs.exists(_join(staging, "_SUCCESS")):
             return staging
         nb = self.num_buckets
         salted = toks.withColumn(
@@ -151,11 +153,11 @@ class CompressionPipeline:
 
     def _wave_paths(self, snapshot_id: str, wave) -> list[str]:
         """Partition directories a wave just wrote (empty buckets write
-        nothing).  Local-FS listing; on an object store this would go
-        through the Hadoop FileSystem API instead."""
-        paths = [os.path.join(self.data_dir, f"snapshot_id={snapshot_id}",
-                              f"bucket={b}") for b in wave]
-        return [p for p in paths if os.path.exists(p)]
+        nothing) — existence probes through the Hadoop FileSystem, so
+        the same code lists hdfs:/s3a: output."""
+        paths = [_join(self.data_dir, f"snapshot_id={snapshot_id}",
+                       f"bucket={b}") for b in wave]
+        return [p for p in paths if self.fs.exists(p)]
 
     # -- main --------------------------------------------------------------
 
@@ -260,12 +262,11 @@ class CompressionPipeline:
     def cleanup_staging(self, snapshot_id: str) -> None:
         """Drop the staged (uncompressed) copy once every bucket of the
         snapshot is committed — it exists only to make waves prunable."""
-        import shutil
-
         done = self.committed_buckets(snapshot_id)
         if len(done) >= self.num_buckets:
-            shutil.rmtree(os.path.join(self.output_dir, "staging",
-                                       snapshot_id), ignore_errors=True)
+            staging = _join(self.output_dir, "staging", snapshot_id)
+            if self.fs.exists(staging):
+                self.fs.delete(staging, recursive=True)
 
     def read_encoded(self, snapshot_id: str | None = None) -> DataFrame:
         """Encoded table; partition pruning on (snapshot_id, bucket)
@@ -279,14 +280,13 @@ class CompressionPipeline:
         df = self.spark.read.parquet(self.data_dir)
         if snapshot_id is not None:
             df = df.filter(F.col("snapshot_id") == snapshot_id)
-        path = os.path.join(self.params_dir, "fsst_table.json")
+        path = _join(self.params_dir, "fsst_table.json")
         enc_cols = tuple(
             c for c in ("doc_id", "source")
             if dict(df.dtypes).get(c) == "binary")
-        if not enc_cols or not os.path.exists(path):
+        if not enc_cols or not self.fs.exists(path):
             return df
-        with open(path) as f:
-            table = fstr.table_from_hex(json.load(f)["hex"])
+        table = fstr.table_from_hex(json.loads(self.fs.read_text(path))["hex"])
         return fstr.decode_string_cols(df, table, enc_cols)
 
     def verify_checksums(self, snapshot_id: str) -> int:

@@ -183,3 +183,28 @@ def test_read_encoded_handles_legacy_plain_string_layout(spark, tmp_path):
         json.dump({"hex": "", "symbols": 0, "format_version": 2}, f)
     got = p.read_encoded("old").collect()
     assert [r["doc_id"] for r in got] == ["d1"]
+
+
+def test_pipeline_with_file_scheme_uri(spark, tokens_df, tmp_path):
+    """Round-3 verdict item 2: every metadata call goes through the
+    Hadoop FileSystem API, so an explicit file:-scheme URI (the
+    object-store stand-in — s3a:// differs only in config) works end
+    to end: params JSON, FSST table, staging _SUCCESS probe, wave
+    listing, resume, staging cleanup."""
+    out = f"file://{tmp_path}/fsout"
+    pipe = CompressionPipeline(spark, out, num_buckets=4, wave_buckets=2,
+                               sample_fraction=None)
+    partial = pipe.run(tokens_df, "snapF", max_waves=1)
+    assert partial.buckets_done == 2
+    rest = pipe.run(tokens_df, "snapF")
+    assert rest.buckets_skipped == 2 and rest.buckets_done == 2
+    params = pipe.load_or_learn_params(tokens_df, "snapF")
+    assert pipe.verify_roundtrip(tokens_df, params) == 0
+    assert pipe.verify_checksums("snapF") == 0
+    # staging cleanup through the FS handle
+    assert pipe.fs.exists(f"{out}/staging/snapF/_SUCCESS")
+    pipe.cleanup_staging("snapF")
+    assert not pipe.fs.exists(f"{out}/staging/snapF")
+    # metadata files landed where the FS says they did
+    assert pipe.fs.exists(f"{out}/params/snapF.json")
+    assert pipe.fs.exists(f"{out}/params/fsst_table.json")
