@@ -18,12 +18,21 @@ from pyspark.sql import DataFrame
 from ..codecs import fsst
 
 
-def table_to_hex(table: np.ndarray) -> str:
-    return table.astype("<u2").tobytes().hex()
+def table_to_hex(table) -> str:
+    """Canonical SymbolTable -> hex (9-byte records: len + 8 sym
+    bytes); legacy uint16 bigram arrays serialize as before."""
+    if isinstance(table, np.ndarray):
+        return table.astype("<u2").tobytes().hex()
+    return table.to_bytes().hex()
 
 
-def table_from_hex(s: str) -> np.ndarray:
-    return np.frombuffer(bytes.fromhex(s), "<u2").astype(np.uint16)
+def table_from_hex(s: str, format_version: int = 3):
+    """Inverse of :func:`table_to_hex`; ``format_version`` 2 = legacy
+    bigram keys, 3 = canonical 1-8-byte symbols."""
+    raw = bytes.fromhex(s)
+    if format_version <= 2:
+        return np.frombuffer(raw, "<u2").astype(np.uint16)
+    return fsst.SymbolTable.from_bytes(raw)
 
 
 def learn_table_df(df: DataFrame, cols=("doc_id", "source"),
@@ -48,8 +57,14 @@ def learn_table_df(df: DataFrame, cols=("doc_id", "source"),
     texts: list[str] = []
     for c in cols:
         texts.extend(pdf[c].fillna("").astype(str).tolist())
-    flat, _ = fsst.strings_to_flat(texts)
-    return fsst.build_table(flat[:sample_bytes])
+    flat, lens = fsst.strings_to_flat(texts)
+    # trim to the byte budget on a row boundary so symbol candidates
+    # never span rows
+    if flat.size > sample_bytes:
+        cum = np.cumsum(lens)
+        nrows = int(np.searchsorted(cum, sample_bytes, "right"))
+        flat, lens = flat[:int(cum[nrows - 1]) if nrows else 0], lens[:nrows]
+    return fsst.build_table(flat, sample_lens=lens)
 
 
 def _offsets32(byte_lens: np.ndarray, n: int) -> np.ndarray:

@@ -120,16 +120,18 @@ class CompressionPipeline:
         stays decodable with a single stored table."""
         path = _join(self.params_dir, "fsst_table.json")
         if self.fs.exists(path):
-            return fstr.table_from_hex(
-                json.loads(self.fs.read_text(path))["hex"])
+            meta = json.loads(self.fs.read_text(path))
+            return fstr.table_from_hex(meta["hex"],
+                                       meta.get("format_version", 2))
         table = fstr.learn_table_df(toks, ("doc_id", "source"))
-        # format_version marks the FSST-encoded string-column layout
-        # (v2); data dirs written before it carry plain strings and
-        # no table file — read_encoded detects both
+        # format_version marks the string-column layout: v3 = canonical
+        # FSST (1-8-byte symbols), v2 = legacy bigram FSST-lite (still
+        # decodable), v1 = plain strings with no table file —
+        # read_encoded detects all three
         self.fs.write_text_atomic(path, json.dumps(
             {"hex": fstr.table_to_hex(table),
              "symbols": int(table.size),
-             "format_version": 2}))
+             "format_version": 3}))
         return table
 
     # -- staging -------------------------------------------------------------
@@ -286,7 +288,9 @@ class CompressionPipeline:
             if dict(df.dtypes).get(c) == "binary")
         if not enc_cols or not self.fs.exists(path):
             return df
-        table = fstr.table_from_hex(json.loads(self.fs.read_text(path))["hex"])
+        meta = json.loads(self.fs.read_text(path))
+        table = fstr.table_from_hex(meta["hex"],
+                                    meta.get("format_version", 2))
         return fstr.decode_string_cols(df, table, enc_cols)
 
     def verify_checksums(self, snapshot_id: str) -> int:
