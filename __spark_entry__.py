@@ -46,8 +46,11 @@ def _kparams(spark: SparkSession, sf_dir: str):
     from invariantbitpacking_spark.operators import kmeans
 
     if sf_dir not in _KPARAMS_CACHE:
+        # init="hash" (seed blocks by md5(doc_id) order) so the ENTIRE
+        # clustering — init, Lloyd, sweep — is replayable in DuckDB
         _KPARAMS_CACHE[sf_dir] = kmeans.learn_kmeans(
-            _tokens(spark, sf_dir), k=4, iters=10, vec_size=32)
+            _tokens(spark, sf_dir), k=4, iters=10, vec_size=32,
+            init="hash")
     return _KPARAMS_CACHE[sf_dir]
 
 
@@ -479,8 +482,11 @@ def q_kmeans_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kmeans_vs_global_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustered vs single-global-mask compressed bytes per source at
     the same vec_size (the reference's kmeans-vs-plain comparison,
-    tests/kmeans_test.py:43-74).  Rows-only check: byte sizes are
-    codec-internal (pytest-exact); docs/raw_bytes anchor the shape."""
+    tests/kmeans_test.py:43-74).  Full oracle: the DuckDB side replays
+    BOTH parameter learnings end to end — the global θ sweep
+    (_ibp_replay_cte) and the entire clustering (_kmeans_replay_cte:
+    md5-seeded init, 10 Lloyd iterations, per-cluster masks, tail
+    assignment) — so every byte in both totals is recomputed in SQL."""
     from invariantbitpacking_spark.operators import ibp, kmeans
 
     toks = _tokens(spark, sf_dir)
@@ -496,7 +502,8 @@ def q_kmeans_vs_global_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_vs_global_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL-checkable half of kmeans_vs_global_ratio, hash-gated:
+    """Invariant companion of kmeans_vs_global_ratio (which now has its
+    own full replay oracle), hash-gated:
     per-source doc counts and raw bytes are DuckDB-exact, and the
     per-block never-expand clamp (comp_size = min(..., vec_bytes),
     reference ibp_misc_dev.cuh:86-87) makes ``no_expand_docs == docs``
@@ -1005,6 +1012,169 @@ docsz AS (
 )"""
 
 
+def _kmeans_replay_cte(v: int = 32, k: int = 4, iters: int = 10) -> str:
+    """CTE chain appended after ``_ibp_replay_cte(v=...)`` (it consumes
+    that chain's ``t``, ``elems`` and ``grid``) that replays the ENTIRE
+    clustered-codec pipeline of ``learn_kmeans(init="hash")`` +
+    ``encode_ibp_kmeans`` in pure SQL, ending in ``kdocsz(doc_id,
+    km_bytes)``:
+
+    - md5-ordered centroid seeding (first full block of the k docs with
+      the smallest ``md5(doc_id)`` — engine-independent by design,
+      kmeans.learn_kmeans init="hash");
+    - ``iters`` Lloyd iterations: XOR+popcount Hamming argmin with
+      lowest-cluster tie-break (cluster_vecs,
+      ibp_preproc_kmeans.cuh:106-150), then per-bit majority
+      re-centering with integer division ``cnt > size // 2`` and
+      empty-cluster collapse to zero (construct_bitmasks,
+      ibp_preproc_kmeans.cuh:219-236);
+    - per-cluster (mask, bitval) over the float32 θ grid with
+      create_mask's mixed f32/f64 strict thresholds, the full-block
+      gated-savings sweep, and the strict-argmax / earlier-tie /
+      default-first θ selection (check_feats_many,
+      ibp_preproc_kmeans.cuh:299-323; learn_kmeans:304-308);
+    - prefix-Hamming tail assignment and the §1.4 per-block size
+      formula with the never-expand clamp (ibp_misc_dev.cuh:20-46).
+
+    Heavy / multiply-referenced CTEs are ``AS MATERIALIZED``: DuckDB
+    otherwise inlines each reference and the iteration chain
+    (cent{i} -> asg{i+1} -> cent{i+1}) re-evaluates 2^iters times."""
+    parts = [f"""
+kfull AS MATERIALIZED (
+  SELECT doc_id, b, j, uval FROM elems WHERE L = {v}
+),
+ktail AS MATERIALIZED (
+  SELECT doc_id, b, L, j, uval FROM elems WHERE L < {v}
+),
+kgrid AS MATERIALIZED (
+  SELECT c.c, j.j FROM (SELECT UNNEST(range({k})) AS c) c,
+                       (SELECT UNNEST(range({v})) AS j) j
+),
+cent0 AS MATERIALIZED (
+  SELECT s.c, e.j, e.uval AS w
+  FROM (SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1 AS c
+        FROM t WHERE len(toks) >= {v}
+        ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT {k}) s
+  JOIN kfull e ON e.doc_id = s.doc_id AND e.b = 0
+)"""]
+    prev = "cent0"
+    for i in range(1, iters + 1):
+        parts.append(f"""
+asg{i} AS MATERIALIZED (
+  SELECT doc_id, b, c FROM (
+    SELECT doc_id, b, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, b ORDER BY d, c) AS rn
+    FROM (SELECT e.doc_id, e.b, ct.c,
+                 SUM(bit_count(xor(e.uval, ct.w))) AS d
+          FROM kfull e JOIN {prev} ct ON ct.j = e.j
+          GROUP BY e.doc_id, e.b, ct.c))
+  WHERE rn = 1
+),
+cent{i} AS MATERIALIZED (
+  SELECT g.c, g.j,
+         coalesce(SUM(CASE WHEN s.cnt > s.sz // 2
+                           THEN (CAST(1 AS BIGINT) << s.bit)
+                           ELSE 0 END), 0) AS w
+  FROM kgrid g LEFT JOIN (
+    SELECT a.c, e.j, bits.bit, SUM((e.uval >> bits.bit) & 1) AS cnt,
+           COUNT(*) AS sz
+    FROM kfull e JOIN asg{i} a USING (doc_id, b),
+         (SELECT UNNEST(range(32)) AS bit) bits
+    GROUP BY a.c, e.j, bits.bit
+  ) s ON s.c = g.c AND s.j = g.j
+  GROUP BY g.c, g.j
+)""")
+        prev = f"cent{i}"
+    parts.append(f"""
+kasg AS MATERIALIZED (
+  SELECT doc_id, b, c FROM (
+    SELECT doc_id, b, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, b ORDER BY d, c) AS rn
+    FROM (SELECT e.doc_id, e.b, ct.c,
+                 SUM(bit_count(xor(e.uval, ct.w))) AS d
+          FROM kfull e JOIN {prev} ct ON ct.j = e.j
+          GROUP BY e.doc_id, e.b, ct.c))
+  WHERE rn = 1
+),
+kcstat AS MATERIALIZED (
+  SELECT a.c, e.j, bits.bit, SUM((e.uval >> bits.bit) & 1) AS cnt,
+         COUNT(*) AS sz
+  FROM kfull e JOIN kasg a USING (doc_id, b),
+       (SELECT UNNEST(range(32)) AS bit) bits
+  GROUP BY a.c, e.j, bits.bit
+),
+kmask AS MATERIALIZED (
+  -- complete over every (gi, c, j) cell: clusters with no full blocks
+  -- keep mask = bitval = popc = 0 (learn_kmeans leaves ms/bs zeroed),
+  -- so tails prefix-assigned to such a cluster still encode as raw
+  SELECT g.gi, kg.c, kg.j,
+         coalesce(SUM(CASE WHEN
+                    (CAST(s.cnt AS FLOAT) > g.thr32 * CAST(s.sz AS FLOAT))
+                    OR (CAST(s.cnt AS DOUBLE) < g.lo64 * CAST(s.sz AS DOUBLE))
+                  THEN (CAST(1 AS BIGINT) << s.bit) ELSE 0 END), 0) AS mask,
+         coalesce(SUM(CASE WHEN
+                    CAST(s.cnt AS FLOAT) > g.thr32 * CAST(s.sz AS FLOAT)
+                  THEN (CAST(1 AS BIGINT) << s.bit) ELSE 0 END), 0) AS bitval,
+         coalesce(SUM(CASE WHEN
+                    (CAST(s.cnt AS FLOAT) > g.thr32 * CAST(s.sz AS FLOAT))
+                    OR (CAST(s.cnt AS DOUBLE) < g.lo64 * CAST(s.sz AS DOUBLE))
+                  THEN 1 ELSE 0 END), 0) AS popc
+  FROM kgrid kg CROSS JOIN grid g
+  LEFT JOIN kcstat s ON s.c = kg.c AND s.j = kg.j
+  GROUP BY g.gi, kg.c, kg.j
+),
+kfullsave AS MATERIALIZED (
+  SELECT m.gi, e.doc_id, e.b,
+         SUM(CASE WHEN (e.uval & m.mask) = m.bitval
+                  THEN m.popc ELSE 0 END) AS saved
+  FROM kfull e JOIN kasg a USING (doc_id, b)
+  JOIN kmask m ON m.c = a.c AND m.j = e.j
+  GROUP BY m.gi, e.doc_id, e.b
+),
+kbest AS MATERIALIZED (
+  SELECT coalesce((
+    SELECT gi FROM (
+      SELECT gi, SUM(CASE WHEN saved > {v} THEN saved - {v} ELSE 0 END)
+             AS gated
+      FROM kfullsave GROUP BY gi)
+    WHERE gated > 0 ORDER BY gated DESC, gi ASC LIMIT 1), 0) AS gi
+),
+ktasg AS MATERIALIZED (
+  SELECT doc_id, b, L, c FROM (
+    SELECT doc_id, b, L, c,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, b ORDER BY d, c) AS rn
+    FROM (SELECT e.doc_id, e.b, e.L, ct.c,
+                 SUM(bit_count(xor(e.uval, ct.w))) AS d
+          FROM ktail e JOIN {prev} ct ON ct.j = e.j
+          GROUP BY e.doc_id, e.b, e.L, ct.c))
+  WHERE rn = 1
+),
+ktailsave AS MATERIALIZED (
+  SELECT e.doc_id, e.b, e.L,
+         SUM(CASE WHEN (e.uval & m.mask) = m.bitval
+                  THEN m.popc ELSE 0 END) AS saved
+  FROM ktail e JOIN ktasg a USING (doc_id, b)
+  JOIN kmask m ON m.c = a.c AND m.j = e.j AND m.gi = (SELECT gi FROM kbest)
+  GROUP BY e.doc_id, e.b, e.L
+),
+kallsave AS (
+  SELECT doc_id, b, CAST({v} AS BIGINT) AS L, saved
+  FROM kfullsave WHERE gi = (SELECT gi FROM kbest)
+  UNION ALL SELECT doc_id, b, L, saved FROM ktailsave
+),
+kdocsz AS MATERIALIZED (
+  SELECT t.doc_id, coalesce(x.bytes, 0) AS km_bytes
+  FROM t LEFT JOIN (
+    SELECT doc_id, SUM(LEAST(
+        CAST(ceil(CAST((L + 7) // 8 AS DOUBLE) / 4) AS BIGINT) * 4
+        + CAST(ceil(CAST(4 * L - saved // 8 AS DOUBLE) / 4) AS BIGINT) * 4,
+        4 * L)) AS bytes
+    FROM kallsave GROUP BY doc_id) x USING (doc_id)
+)""")
+    return ",".join(parts)
+
+
 # Per-document closed-form sizes of the lightweight codec family
 # (selector.predict_sizes semantics: FOR/DFOR chunked minimal widths,
 # RLE run count, DICT u16-capped cardinality) — the same formulas the
@@ -1055,6 +1225,17 @@ allsz AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "kmeans_vs_global_ratio": (
+            "WITH " + _ibp_replay_cte(v=32) + "," + _kmeans_replay_cte()
+            + """
+            SELECT d.source,
+                   COUNT(*) AS docs,
+                   CAST(SUM(4 * d.n) AS BIGINT) AS raw_bytes,
+                   CAST(SUM(k.km_bytes) AS BIGINT) AS kmeans_bytes,
+                   CAST(SUM(d.ibp_bytes) AS BIGINT) AS global_bytes
+            FROM docsz d JOIN kdocsz k USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
+        """),
         "condensed_offsets": "WITH " + _ibp_replay_cte() + """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,
                    CAST(ibp_bytes AS BIGINT) AS comp_bytes,

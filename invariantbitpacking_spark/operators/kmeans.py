@@ -139,10 +139,37 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
                  tokens_col: str = "tokens", vec_size: int = VEC_SIZE,
                  threshold: float | None = None,
                  sample_fraction: float | None = None,
-                 seed: int = 42) -> KmeansParams:
+                 seed: int = 42, init: str = "sample") -> KmeansParams:
+    """``init`` picks the centroid seeding:
+
+    - ``"sample"`` (default): seeded uniform Bernoulli sample + local
+      seeded choice — the distribution-faithful analog of the
+      reference's std::random_shuffle (ibp_preproc_host.cuh:176-188).
+    - ``"hash"``: the first full block of the k docs with the smallest
+      ``md5(doc_id)`` (requires a doc_id column).  Hash order is as
+      arbitrary as a shuffle but ENGINE-INDEPENDENT: DuckDB computes
+      the identical md5, which lets an oracle replay the entire
+      clustering — init, Lloyd iterations, threshold sweep, and sizes
+      — in pure SQL.
+    """
     _require_int32_kmeans(df, tokens_col, "learn_kmeans")
     if sample_fraction is not None and sample_fraction < 1.0:
         df = df.sample(fraction=sample_fraction, seed=seed)
+    if init == "hash":
+        if "doc_id" not in df.columns:
+            raise ValueError("init='hash' needs a doc_id column")
+        seed_rows = (df.filter(F.size(tokens_col) >= vec_size)
+                     .select(tokens_col,
+                             F.md5(F.col("doc_id").cast("string"))
+                             .alias("h"))
+                     .orderBy("h").limit(k).collect())
+        if len(seed_rows) < k:
+            raise ValueError(
+                f"init='hash' found only {len(seed_rows)} docs with a "
+                f"full {vec_size}-token block, need {k}")
+        centroids = np.stack([
+            np.asarray(r[tokens_col][:vec_size], np.int64).astype(np.int32)
+            .view(np.uint32) for r in seed_rows])
     # The Lloyd loop makes iters+2 distributed passes; persist the
     # (possibly sampled) projection ONCE so iterations scan cached
     # blocks, not the source table 12 times (the reference iterates over
@@ -150,37 +177,39 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
     # Spark analog of that residency).
     toks = df.select(tokens_col).persist()
 
-    # ---- init: k blocks from a tiny driver-side seeded sample -----------
-    # Uniform across the table, not a head slice: an ingest-ordered
-    # corpus would otherwise seed every centroid from one modality.
-    # Deterministic: seeded Bernoulli sample, then ordered by doc_id so
-    # the local rng.choice below sees a stable row order (the
-    # reference's std::random_shuffle is seeded by srand in the same
-    # spirit, ibp_preproc_host.cuh:176-188).
-    n_seed_rows = max(4 * k, 64)
-    total = df.count()
-    frac = min(1.0, 3.0 * n_seed_rows / max(total, 1))
-    seed_src = (df.select("doc_id", tokens_col) if "doc_id" in df.columns
-                else df.select(tokens_col))
-    if frac < 1.0:
-        seed_src = seed_src.sample(fraction=frac, seed=seed)
-    if "doc_id" in df.columns:
-        seed_src = seed_src.orderBy("doc_id")
-    sample_rows = seed_src.limit(3 * n_seed_rows).toPandas()
-    fb0 = frame_batch(sample_rows[tokens_col].values, vec_size)
-    if fb0.full_mat.shape[0] < k and frac < 1.0:
-        # sampling undershot (short docs / binomial variance): retry
-        # over the full table before giving up
-        retry = (df.select("doc_id", tokens_col).orderBy("doc_id")
-                 if "doc_id" in df.columns else df.select(tokens_col))
-        sample_rows = retry.limit(3 * n_seed_rows).toPandas()
+    if init != "hash":
+        # ---- init: k blocks from a tiny driver-side seeded sample -------
+        # Uniform across the table, not a head slice: an ingest-ordered
+        # corpus would otherwise seed every centroid from one modality.
+        # Deterministic: seeded Bernoulli sample, then ordered by doc_id
+        # so the local rng.choice below sees a stable row order (the
+        # reference's std::random_shuffle is seeded by srand in the same
+        # spirit, ibp_preproc_host.cuh:176-188).
+        n_seed_rows = max(4 * k, 64)
+        total = df.count()
+        frac = min(1.0, 3.0 * n_seed_rows / max(total, 1))
+        seed_src = (df.select("doc_id", tokens_col)
+                    if "doc_id" in df.columns else df.select(tokens_col))
+        if frac < 1.0:
+            seed_src = seed_src.sample(fraction=frac, seed=seed)
+        if "doc_id" in df.columns:
+            seed_src = seed_src.orderBy("doc_id")
+        sample_rows = seed_src.limit(3 * n_seed_rows).toPandas()
         fb0 = frame_batch(sample_rows[tokens_col].values, vec_size)
-    if fb0.full_mat.shape[0] < k:
-        toks.unpersist()
-        raise ValueError(f"need >= {k} full blocks to seed {k} centroids")
-    rng = np.random.default_rng(seed)
-    centroids = fb0.full_mat[
-        rng.choice(fb0.full_mat.shape[0], k, replace=False)].copy()
+        if fb0.full_mat.shape[0] < k and frac < 1.0:
+            # sampling undershot (short docs / binomial variance): retry
+            # over the full table before giving up
+            retry = (df.select("doc_id", tokens_col).orderBy("doc_id")
+                     if "doc_id" in df.columns else df.select(tokens_col))
+            sample_rows = retry.limit(3 * n_seed_rows).toPandas()
+            fb0 = frame_batch(sample_rows[tokens_col].values, vec_size)
+        if fb0.full_mat.shape[0] < k:
+            toks.unpersist()
+            raise ValueError(
+                f"need >= {k} full blocks to seed {k} centroids")
+        rng = np.random.default_rng(seed)
+        centroids = fb0.full_mat[
+            rng.choice(fb0.full_mat.shape[0], k, replace=False)].copy()
 
     # ---- Lloyd iterations (distributed assign + majority re-center) -----
     for _ in range(iters):
