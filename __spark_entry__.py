@@ -654,17 +654,22 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit word-level SimHash fingerprints.  Full oracle: DuckDB
+    replays the exact FNV-1a chain — ``h = (h ^ byte) * prime mod
+    2^64`` per UTF-8 byte — with a recursive CTE over hex-decoded byte
+    positions and HUGEINT modular multiplication, then the per-bit
+    majority vote (see ``_simhash_replay_sql``)."""
     from invariantbitpacking_spark.functions.dataops import simhash64
 
     return simhash64(_docs(spark, sf_dir))
 
 
 def q_simhash_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The hash-gated companion of ``simhash``: the SAME mapInArrow
-    pass additionally emits per-doc word and distinct-word counts —
-    exactly the quantities the majority vote and factorize stages
-    consume — which DuckDB recomputes independently.  The mod-2^64
-    FNV-1a chain itself stays rows-only in the ``simhash`` twin."""
+    """Invariant companion of ``simhash`` (which now has a full
+    FNV-replay oracle): the SAME mapInArrow pass additionally emits
+    per-doc word and distinct-word counts — exactly the quantities the
+    majority vote and factorize stages consume — which DuckDB
+    recomputes independently."""
     from invariantbitpacking_spark.functions.dataops import simhash64
 
     return (simhash64(_docs(spark, sf_dir), with_counts=True)
@@ -1223,8 +1228,73 @@ allsz AS (
 )"""
 
 
+def _simhash_replay_sql() -> str:
+    """Full SQL replay of :func:`dataops.simhash64`: split on single
+    spaces (empty text -> no words), FNV-1a-64 each word over its UTF-8
+    bytes — the recursive CTE walks hex-decoded byte positions, and the
+    mod-2^64 wrap is HUGEINT multiply % 2^64 (DuckDB integer ops trap
+    on overflow, so the chain is widened, reduced, and narrowed each
+    step) — then the per-bit strict-majority vote (ties -> 0) and the
+    unsigned->signed int64 reinterpretation Spark emits.  Bit weights
+    are emitted as literals: ``1 << 63`` overflows BIGINT."""
+    weights = ", ".join(f"({b}, CAST({1 << b} AS HUGEINT))"
+                        for b in range(64))
+    return f"""
+WITH RECURSIVE
+sw AS (
+  SELECT doc_id,
+         UNNEST(CASE WHEN length(text) > 0
+                     THEN string_split(text, ' ')
+                     ELSE CAST([] AS VARCHAR[]) END) AS w
+  FROM documents
+),
+swb AS MATERIALIZED (
+  SELECT doc_id, upper(hex(encode(w))) AS hx,
+         octet_length(encode(w)) AS nb,
+         ROW_NUMBER() OVER () AS wid
+  FROM sw
+),
+chain AS (
+  SELECT wid, nb, hx, 0 AS i,
+         CAST(14695981039346656037 AS UBIGINT) AS h
+  FROM swb
+  UNION ALL
+  SELECT wid, nb, hx, i + 1,
+         CAST((CAST(xor(h, CAST(
+             (strpos('0123456789ABCDEF', substr(hx, i * 2 + 1, 1)) - 1) * 16
+             + strpos('0123456789ABCDEF', substr(hx, i * 2 + 2, 1)) - 1
+           AS UBIGINT)) AS HUGEINT) * 1099511628211)
+           % 18446744073709551616 AS UBIGINT) AS h
+  FROM chain WHERE i < nb
+),
+whash AS MATERIALIZED (
+  SELECT wid, h FROM chain WHERE i = nb
+),
+bitw(b, w) AS (VALUES {weights}),
+votes AS MATERIALIZED (
+  SELECT s.doc_id, bw.b, bw.w,
+         SUM(CASE WHEN (f.h >> bw.b) & 1 = 1 THEN 1 ELSE 0 END) AS ones,
+         COUNT(*) AS n
+  FROM swb s JOIN whash f USING (wid), bitw bw
+  GROUP BY s.doc_id, bw.b, bw.w
+),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2 * ones > n THEN w ELSE CAST(0 AS HUGEINT) END)
+           AS u
+  FROM votes GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       CAST(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808
+                 THEN coalesce(s.u, 0) - 18446744073709551616
+                 ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
+FROM documents d LEFT JOIN sh s USING (doc_id)
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "simhash": _simhash_replay_sql(),
         "kmeans_vs_global_ratio": (
             "WITH " + _ibp_replay_cte(v=32) + "," + _kmeans_replay_cte()
             + """
