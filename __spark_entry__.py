@@ -508,7 +508,8 @@ def q_kmeans_vs_global_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-block never-expand clamp (comp_size = min(..., vec_bytes),
     reference ibp_misc_dev.cuh:86-87) makes ``no_expand_docs == docs``
     an oracle-checkable invariant of BOTH encoders' emitted bytes; the
-    absolute kmeans/global byte totals stay in the rows-only twin."""
+    absolute byte totals are fully replayed by the ratio twin's own
+    oracle."""
     from invariantbitpacking_spark.operators import ibp, kmeans
 
     toks = _tokens(spark, sf_dir)
@@ -529,12 +530,12 @@ def q_kmeans_vs_global_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_codec_docs_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL-checkable half of codec_sizes_by_source, hash-gated:
-    which (source, codec) cells the selector's size predictor emits and
-    how many docs land in each.  Every codec covers every doc except
-    DICT, whose u16 cardinality limit drops docs with > 65535 distinct
-    tokens — both facts the oracle recomputes exactly; the predicted
-    byte totals stay in the rows-only twin."""
+    """Invariant companion of codec_sizes_by_source (which now has a
+    full replay oracle), hash-gated: which (source, codec) cells the
+    selector's size predictor emits and how many docs land in each.
+    Every codec covers every doc except DICT, whose u16 cardinality
+    limit drops docs with > 65535 distinct tokens — both facts the
+    oracle recomputes exactly."""
     from invariantbitpacking_spark.operators.selector import (
         predicted_sizes_by_source)
 
@@ -751,7 +752,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fsst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FSST-lite string codec over document text with ONE global symbol
+    """FSST string codec over document text with ONE global symbol
     table: learned once on a driver-side sample, closure-broadcast to
     every encoder batch (the storable-codec shape the pipeline persists
     alongside lineage).  Per-source doc count and lossless-round-trip

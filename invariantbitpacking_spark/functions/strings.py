@@ -6,7 +6,7 @@ symbol table here is learned ONCE on a driver-side sample, rides to
 executors in the UDF closure (broadcast-variable semantics), and is
 persisted as hex alongside snapshot params — so encoded string columns
 written to disk remain decodable by later sessions, unlike a
-per-batch table, which makes FSST-lite a *storable* codec.
+per-batch table, which makes FSST a *storable* codec.
 """
 
 from __future__ import annotations
