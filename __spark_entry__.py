@@ -685,6 +685,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-linear hyperplane-LSH ANN.  Full oracle: the hyperplanes are
+    SEEDED float literals embedded in both plans (numpy default_rng(42)
+    — deterministic across processes), so DuckDB replays bucketing,
+    the bucket-size cap, candidate union, exact cosine re-rank and
+    top-k exactly (``_ann_lsh_replay_sql``).  The two engines fold dot
+    products in different association orders (last-ulp differences);
+    sign tests and 6-decimal rounding absorb that, verified stable at
+    both sf dirs on the deterministic corpus."""
     from invariantbitpacking_spark.functions.dataops import ann_lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1293,9 +1301,78 @@ FROM documents d LEFT JOIN sh s USING (doc_id)
 """
 
 
+def _ann_lsh_replay_sql(planes: int = 4, tables: int = 8, seed: int = 42,
+                        dim: int = 64, cap: int = 100_000,
+                        num_queries: int = 8, k: int = 5) -> str:
+    """Full SQL replay of :func:`dataops.ann_lsh_topk`: the seeded
+    hyperplanes (``default_rng(seed).standard_normal``) are embedded as
+    float literals — exactly the values the Spark plan carries via
+    ``F.lit`` — then bucket signatures (sign-bit fold, MSB-first),
+    the degenerate-bucket cap, per-table candidate union (DISTINCT),
+    exact cosine re-rank and (sim DESC, vec_id ASC) top-k."""
+    import numpy as np
+
+    hp = np.random.default_rng(seed).standard_normal((tables, planes, dim))
+    rows = ", ".join(
+        f"({t}, {p}, [{','.join(repr(float(x)) for x in hp[t, p])}]"
+        "::DOUBLE[])"
+        for t in range(tables) for p in range(planes))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+hp(tbl, p, pv) AS (VALUES {rows}),
+dots AS MATERIALIZED (
+  SELECT e.vec_id, h.tbl, h.p,
+         list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> e.v[i] * h.pv[i])) AS d
+  FROM e CROSS JOIN hp h
+),
+sig AS MATERIALIZED (
+  SELECT vec_id, tbl,
+         SUM(CASE WHEN d > 0 THEN (1 << ({planes - 1} - p))
+                  ELSE 0 END) AS bucket
+  FROM dots GROUP BY vec_id, tbl
+),
+sizes AS (SELECT tbl, bucket, COUNT(*) AS bn FROM sig
+          GROUP BY tbl, bucket),
+sigf AS MATERIALIZED (
+  SELECT sig.* FROM sig JOIN sizes USING (tbl, bucket)
+  WHERE bn <= {cap}
+),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e
+      ORDER BY vec_id LIMIT {num_queries}),
+qb AS (SELECT q.q_id, s.tbl, s.bucket
+       FROM q JOIN sigf s ON s.vec_id = q.q_id),
+cand AS (
+  SELECT DISTINCT qb.q_id, s.vec_id
+  FROM sigf s JOIN qb USING (tbl, bucket)
+  WHERE s.vec_id != qb.q_id
+),
+pairs AS (
+  SELECT c.q_id, c.vec_id,
+         list_sum(list_transform(range(1, {dim + 1}),
+                                 i -> ev.v[i] * qq.qv[i]))
+         / (sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                                         i -> ev.v[i] * ev.v[i])))
+            * sqrt(list_sum(list_transform(range(1, {dim + 1}),
+                                           i -> qq.qv[i] * qq.qv[i]))))
+           AS sim
+  FROM cand c JOIN e ev ON ev.vec_id = c.vec_id
+  JOIN q qq ON qq.q_id = c.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY sim DESC, vec_id ASC) AS rank
+  FROM pairs)
+SELECT q_id, CAST(rank AS INT) AS rank, vec_id, ROUND(sim, 6) AS sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "simhash": _simhash_replay_sql(),
+        "ann_lsh_topk": _ann_lsh_replay_sql(),
         "kmeans_vs_global_ratio": (
             "WITH " + _ibp_replay_cte(v=32) + "," + _kmeans_replay_cte()
             + """
