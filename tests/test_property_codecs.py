@@ -124,3 +124,30 @@ def test_gather_and_scatter_adaptive_match_naive(data):
         expect[d_starts[i]:d_starts[i] + lens[i]] = naive[off[i]:off[i] + lens[i]]
     _scatter_rows(dst, d_starts, naive, lens)
     np.testing.assert_array_equal(dst, expect)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=4),    # alphabet size
+    st.integers(min_value=0, max_value=2**31 - 1),  # corpus seed
+)
+def test_fsst_small_alphabet_long_symbols(nalpha, seed):
+    """Tiny alphabets make the 5-generation table build concatenate
+    aggressively, exercising the longest (up to 8-byte) symbols and
+    the greedy longest-match walk's multi-byte steps — the code paths
+    the canonical rewrite added over the bigram-only lite codec."""
+    rng = np.random.default_rng(seed)
+    alpha = rng.integers(0, 256, nalpha).astype(np.uint8)
+    docs = [alpha[rng.integers(0, nalpha, int(rng.integers(0, 120)))]
+            .tobytes() for _ in range(40)]
+    lens = np.array([len(d) for d in docs], np.int64)
+    flat = (np.frombuffer(b"".join(docs), np.uint8)
+            if lens.sum() else np.zeros(0, np.uint8))
+    table = fsst.build_table(flat, sample_lens=lens)
+    enc, enc_lens = fsst.encode_strings(flat, lens, table)
+    dec, dec_lens = fsst.decode_strings(enc, enc_lens, table)
+    np.testing.assert_array_equal(dec, flat)
+    np.testing.assert_array_equal(dec_lens, lens)
+    if lens.sum() >= 400:
+        # repetitive corpora must actually compress
+        assert enc.size < lens.sum()
