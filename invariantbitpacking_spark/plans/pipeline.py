@@ -14,6 +14,10 @@ North-rule scale machinery:
   checksum, wall seconds).  The lineage append is the commit point.
 - **Resume**: a rerun anti-joins pending buckets against committed
   lineage rows for the same snapshot and only processes the remainder.
+- **Incremental ingest** (:meth:`CompressionPipeline.append`): a delta
+  upserts/appends into a committed snapshot by rewriting ONLY the
+  buckets its doc_ids salt into; superseding lineage rows keep the
+  checksum audit exact (latest commit per bucket wins).
 
 On a real cluster this is launched via ``spark-submit --py-files
 invariantbitpacking_spark.zip run_pipeline.py`` (see scripts/); the
@@ -97,6 +101,20 @@ class CompressionPipeline:
                         & (F.col("status") == "committed"))
                 .select("bucket").distinct().collect())
         return {r["bucket"] for r in rows}
+
+    def latest_lineage(self, snapshot_id: str) -> DataFrame:
+        """One committed row per bucket, LATEST commit wins — appends
+        (:meth:`append`) re-commit a bucket with fresh totals and a
+        fresh checksum, so consumers must read the newest row, never a
+        superseded one.  The window is over <= num_buckets rows."""
+        from pyspark.sql import Window
+
+        lin = (self.lineage()
+               .filter((F.col("snapshot_id") == snapshot_id)
+                       & (F.col("status") == "committed")))
+        w = Window.partitionBy("bucket").orderBy(F.desc("committed_at"))
+        return (lin.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
 
     # -- params ------------------------------------------------------------
 
@@ -198,68 +216,169 @@ class CompressionPipeline:
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("snapshot_id", "bucket")
              .parquet(self.data_dir))
-            # wave statistics from what was just written (source of
-            # truth), reading ONLY this wave's partition directories —
-            # a filter over data_dir would re-list every snapshot/bucket
-            # ever written, a listing that grows with pipeline history
-            paths = self._wave_paths(snapshot_id, wave)
-            if paths:
-                written = (self.spark.read
-                           .option("basePath", self.data_dir)
-                           .parquet(*paths))
-                # ONE read-back pass per wave: totals + checksum + codec
-                # mix aggregated at (bucket, codec) grain, rolled up to
-                # bucket driver-side (XOR of XOR-folds and sums of sums
-                # compose exactly; the collected frame is <= buckets x
-                # codecs rows)
-                fine = (written.groupBy("bucket", "codec").agg(
-                    F.count(F.lit(1)).alias("docs"),
-                    F.sum("n_tok").alias("tokens"),
-                    F.sum("raw_bytes").alias("raw_bytes"),
-                    F.sum("comp_bytes").alias("comp_bytes"),
-                    F.expr("bit_xor(xxhash64(payload))").alias("payload_xxh"),
-                ).collect())
-                agg: dict[int, dict] = {}
-                for r in fine:
-                    b = int(r["bucket"])
-                    a = agg.setdefault(b, {
-                        "bucket": b, "docs": 0, "tokens": 0, "raw_bytes": 0,
-                        "comp_bytes": 0, "payload_xxh": 0, "mix": {}})
-                    for k in ("docs", "tokens", "raw_bytes", "comp_bytes"):
-                        a[k] += int(r[k])
-                    a["payload_xxh"] ^= int(r["payload_xxh"] or 0)
-                    a["mix"][r["codec"]] = int(r["docs"])
-                stats = list(agg.values())
-                mixes = {a["bucket"]: a["mix"] for a in stats}
-            else:  # every bucket in the wave was empty
-                stats, mixes = [], {}
             wall = time.perf_counter() - t0
-            now = time.time()
-            rows = []
-            for r in stats:
-                b = int(r["bucket"])
-                rows.append((snapshot_id, b, "committed", r["docs"],
-                             r["tokens"], r["raw_bytes"], r["comp_bytes"],
-                             json.dumps({k: int(v) for k, v in
-                                         (mixes.get(b) or {}).items()},
-                                        sort_keys=True),
-                             int(r["payload_xxh"] or 0),
-                             wall / max(len(wave), 1), now))
+            for r in self._commit_wave(snapshot_id, wave, wall):
                 for k in totals:
                     totals[k] += int(r[k])
-            # empty buckets still commit (so resume skips them)
-            got = {int(r["bucket"]) for r in stats}
-            for b in wave:
-                if b not in got:
-                    rows.append((snapshot_id, b, "committed",
-                                 0, 0, 0, 0, "{}", 0,
-                                 wall / max(len(wave), 1), now))
-            (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-             .coalesce(1).write.mode("append").parquet(self.lineage_dir))
 
         return PipelineResult(snapshot_id, buckets_run, len(done),
                               totals["docs"], totals["tokens"],
                               totals["raw_bytes"], totals["comp_bytes"])
+
+    def _commit_wave(self, snapshot_id: str, wave, wall: float) -> list:
+        """Wave commit point: read back ONLY the wave's just-written
+        partition directories (a filter over data_dir would re-list
+        every snapshot/bucket ever written, a listing that grows with
+        pipeline history), aggregate totals + XOR-fold checksum + codec
+        mix at (bucket, codec) grain in ONE pass (XOR of XOR-folds and
+        sums of sums compose exactly; the collected frame is <= buckets
+        x codecs rows), and append one committed lineage row per
+        bucket.  Returns the per-bucket stat dicts."""
+        paths = self._wave_paths(snapshot_id, wave)
+        if paths:
+            written = (self.spark.read
+                       .option("basePath", self.data_dir)
+                       .parquet(*paths))
+            fine = (written.groupBy("bucket", "codec").agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tok").alias("tokens"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("comp_bytes").alias("comp_bytes"),
+                F.expr("bit_xor(xxhash64(payload))").alias("payload_xxh"),
+            ).collect())
+            agg: dict[int, dict] = {}
+            for r in fine:
+                b = int(r["bucket"])
+                a = agg.setdefault(b, {
+                    "bucket": b, "docs": 0, "tokens": 0, "raw_bytes": 0,
+                    "comp_bytes": 0, "payload_xxh": 0, "mix": {}})
+                for k in ("docs", "tokens", "raw_bytes", "comp_bytes"):
+                    a[k] += int(r[k])
+                a["payload_xxh"] ^= int(r["payload_xxh"] or 0)
+                a["mix"][r["codec"]] = int(r["docs"])
+            stats = list(agg.values())
+            mixes = {a["bucket"]: a["mix"] for a in stats}
+        else:  # every bucket in the wave was empty
+            stats, mixes = [], {}
+        now = time.time()
+        rows = []
+        for r in stats:
+            b = int(r["bucket"])
+            rows.append((snapshot_id, b, "committed", r["docs"],
+                         r["tokens"], r["raw_bytes"], r["comp_bytes"],
+                         json.dumps({k: int(v) for k, v in
+                                     (mixes.get(b) or {}).items()},
+                                    sort_keys=True),
+                         int(r["payload_xxh"] or 0),
+                         wall / max(len(wave), 1), now))
+        # empty buckets still commit (so resume skips them)
+        got = {int(r["bucket"]) for r in stats}
+        for b in wave:
+            if b not in got:
+                rows.append((snapshot_id, b, "committed",
+                             0, 0, 0, 0, "{}", 0,
+                             wall / max(len(wave), 1), now))
+        (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+         .coalesce(1).write.mode("append").parquet(self.lineage_dir))
+        return stats
+
+    # -- incremental ingest --------------------------------------------------
+
+    def append(self, toks_delta: DataFrame, snapshot_id: str,
+               mode: str = "upsert") -> PipelineResult:
+        """Incremental ingest into a COMMITTED snapshot: the delta's
+        documents salt into their buckets, and ONLY those bucket
+        directories are rewritten (surviving existing rows plus the
+        newly encoded delta) — at 100 TB this touches
+        ``len(affected)/num_buckets`` of the table instead of
+        re-encoding the corpus, which is what makes the layout viable
+        for a living dataset.
+
+        - ``mode="upsert"`` (default): existing documents whose doc_id
+          appears in the delta are REPLACED.  Matching happens on the
+          FSST-encoded doc_id bytes — the encoding is deterministic
+          given the persisted global table, so equality on encoded
+          bytes IS equality on ids, with no decode pass.
+        - ``mode="append"``: the caller guarantees delta doc_ids are
+          new; existing rows are kept as-is.
+
+        Commit protocol per wave of affected buckets: the combined
+        frame is staged to its own directory first (Spark refuses to
+        overwrite a path it is reading, and staging keeps the rewrite
+        crash-safe), then dynamic-partition-overwritten into the data
+        dir, read back, and committed as a FRESH lineage row per bucket
+        — superseding, not mutating, the old row; consumers read
+        through :meth:`latest_lineage`.  Re-running the same upsert
+        delta converges to identical bytes and checksums (idempotent);
+        codec params and the FSST table are the snapshot's persisted
+        ones, so every appended document is encoded exactly as the
+        original run would have."""
+        if mode not in ("upsert", "append"):
+            raise ValueError(f"append: unknown mode {mode!r}")
+        done = self.committed_buckets(snapshot_id)
+        if not done:
+            raise ValueError(
+                f"append: snapshot {snapshot_id!r} has no committed "
+                "buckets to append into — run() it first")
+        nb = self.num_buckets
+        params = self.load_or_learn_params(toks_delta, snapshot_id)
+        # Legacy v1 outputs carry PLAIN string columns (no table file);
+        # appending binary-encoded strings next to them would fork the
+        # schema, so only encode strings when the snapshot already does.
+        has_fsst = self.fs.exists(_join(self.params_dir, "fsst_table.json"))
+        fsst_table = self.load_or_learn_fsst(toks_delta) if has_fsst else None
+        salted = (toks_delta.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+            .withColumn("snapshot_id", F.lit(snapshot_id)))
+        affected = sorted(r["bucket"] for r in
+                          salted.select("bucket").distinct().collect())
+        totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
+        waves = [affected[i:i + self.wave_buckets]
+                 for i in range(0, len(affected), self.wave_buckets)]
+        stage_root = _join(self.output_dir, "append_staging", snapshot_id)
+        for wi, wave in enumerate(waves):
+            t0 = time.perf_counter()
+            part = salted.filter(F.col("bucket").isin(wave))
+            enc = selector.encode_auto(part, params, allowed=self.allowed,
+                                       passthrough=("bucket", "snapshot_id"))
+            if fsst_table is not None:
+                enc = fstr.encode_string_cols(enc, fsst_table,
+                                              ("doc_id", "source"))
+            paths = self._wave_paths(snapshot_id, wave)
+            if paths:
+                existing = (self.spark.read
+                            .option("basePath", self.data_dir)
+                            .parquet(*paths))
+                if mode == "upsert":
+                    keys = enc.select(F.col("doc_id").alias("_k")).distinct()
+                    existing = (existing.join(
+                        keys, existing["doc_id"] == keys["_k"], "left_anti"))
+                combined = existing.select(*enc.columns).unionByName(enc)
+            else:
+                combined = enc
+            stage = _join(stage_root, f"wave{wi}")
+            (combined.write.mode("overwrite")
+             .partitionBy("snapshot_id", "bucket").parquet(stage))
+            (self.spark.read.option("basePath", stage).parquet(
+                *[_join(stage, f"snapshot_id={snapshot_id}", f"bucket={b}")
+                  for b in wave
+                  if self.fs.exists(_join(stage,
+                                          f"snapshot_id={snapshot_id}",
+                                          f"bucket={b}"))])
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("snapshot_id", "bucket")
+             .parquet(self.data_dir))
+            wall = time.perf_counter() - t0
+            for r in self._commit_wave(snapshot_id, wave, wall):
+                for k in totals:
+                    totals[k] += int(r[k])
+        if self.fs.exists(stage_root):
+            self.fs.delete(stage_root, recursive=True)
+        return PipelineResult(snapshot_id, len(affected),
+                              nb - len(affected), totals["docs"],
+                              totals["tokens"], totals["raw_bytes"],
+                              totals["comp_bytes"])
 
     def cleanup_staging(self, snapshot_id: str) -> None:
         """Drop the staged (uncompressed) copy once every bucket of the
@@ -303,10 +422,9 @@ class CompressionPipeline:
                .filter(F.col("snapshot_id") == snapshot_id))
         got = enc.groupBy("bucket").agg(
             F.expr("bit_xor(xxhash64(payload))").alias("xxh"))
-        lin = (self.lineage()
-               .filter((F.col("snapshot_id") == snapshot_id)
-                       & (F.col("status") == "committed")
-                       & (F.col("docs") > 0))
+        # latest commit per bucket: appends supersede earlier rows
+        lin = (self.latest_lineage(snapshot_id)
+               .filter(F.col("docs") > 0)
                .select("bucket", "payload_xxh"))
         bad = (got.join(lin, "bucket")
                .filter(F.col("xxh") != F.col("payload_xxh")).count())

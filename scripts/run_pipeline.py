@@ -39,6 +39,9 @@ def main() -> None:
     ap.add_argument("--max-waves", type=int, default=None)
     ap.add_argument("--local-cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--append-rows", type=int, default=0,
+                    help="after the run, upsert this many synthetic delta "
+                         "docs into the snapshot (incremental-ingest drive)")
     ap.add_argument("--verify", action="store_true",
                     help="decode everything afterwards and check identity")
     ap.add_argument("--cleanup-staging", action="store_true",
@@ -72,6 +75,18 @@ def main() -> None:
         "wall_sec": round(wall, 3),
         "tokens_per_sec": round(res.tokens / max(wall, 1e-9), 1),
     }
+    if args.append_rows:
+        from pyspark.sql import functions as F
+
+        delta = (generate_tokens_df(spark, args.append_rows, seed=777)
+                 .withColumn("doc_id", F.concat(F.lit("delta-"),
+                                                F.col("doc_id"))))
+        t1 = time.perf_counter()
+        ares = pipe.append(delta, args.snapshot)
+        out["append_docs"] = args.append_rows
+        out["append_buckets_rewritten"] = ares.buckets_done
+        out["append_wall_sec"] = round(time.perf_counter() - t1, 3)
+        toks = toks.unionByName(delta)
     if args.verify:
         params = pipe.load_or_learn_params(toks, args.snapshot)
         out["roundtrip_mismatches"] = pipe.verify_roundtrip(toks, params, args.snapshot)

@@ -208,3 +208,72 @@ def test_pipeline_with_file_scheme_uri(spark, tokens_df, tmp_path):
     # metadata files landed where the FS says they did
     assert pipe.fs.exists(f"{out}/params/snapF.json")
     assert pipe.fs.exists(f"{out}/params/fsst_table.json")
+
+
+TOK_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
+
+
+def _delta_df(spark, n, prefix="new", seed=7):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        toks = [rng.randrange(0, 32000) for _ in range(rng.randrange(5, 90))]
+        rows.append((f"{prefix}-{i:04d}", toks, len(toks), "delta"))
+    return spark.createDataFrame(rows, TOK_SCHEMA)
+
+
+def test_append_new_docs(spark, tokens_df, outdir):
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=4,
+                               sample_fraction=None)
+    pipe.run(tokens_df, "snapA")
+    n0 = tokens_df.count()
+    delta = _delta_df(spark, 20)
+    res = pipe.append(delta, "snapA")
+    assert res.docs > 0 and res.buckets_done >= 1
+    enc = pipe.read_encoded("snapA")
+    assert enc.count() == n0 + 20
+    # checksums: latest lineage rows match the rewritten buckets
+    assert pipe.verify_checksums("snapA") == 0
+    # full corpus (old + delta) round-trips bit-identically
+    params = pipe.load_or_learn_params(tokens_df, "snapA")
+    combined = tokens_df.unionByName(delta)
+    assert pipe.verify_roundtrip(combined, params, "snapA") == 0
+    # appended buckets have a superseding lineage row; latest-wins view
+    # still resolves to exactly one row per bucket
+    lin = pipe.lineage().filter(F.col("snapshot_id") == "snapA")
+    assert lin.count() > 8
+    assert pipe.latest_lineage("snapA").count() == 8
+    # resume semantics intact: a re-run encodes nothing
+    res2 = pipe.run(tokens_df, "snapA")
+    assert res2.buckets_done == 0 and res2.buckets_skipped == 8
+
+
+def test_append_upsert_replaces_and_is_idempotent(spark, tokens_df, outdir):
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=8,
+                               sample_fraction=None)
+    pipe.run(tokens_df, "snapA")
+    n0 = tokens_df.count()
+    victim = tokens_df.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    new_toks = list(range(40, 80))
+    delta = spark.createDataFrame(
+        [(victim, new_toks, len(new_toks), "rewrite")], TOK_SCHEMA)
+    pipe.append(delta, "snapA")
+    enc = pipe.read_encoded("snapA")
+    assert enc.count() == n0  # replaced, not duplicated
+    assert pipe.verify_checksums("snapA") == 0
+    params = pipe.load_or_learn_params(tokens_df, "snapA")
+    modified = (tokens_df.filter(F.col("doc_id") != victim)
+                .unionByName(delta))
+    assert pipe.verify_roundtrip(modified, params, "snapA") == 0
+    # idempotent: the same upsert again converges to the same table
+    pipe.append(delta, "snapA")
+    assert pipe.read_encoded("snapA").count() == n0
+    assert pipe.verify_checksums("snapA") == 0
+
+
+def test_append_requires_committed_snapshot(spark, tokens_df, outdir):
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8)
+    with pytest.raises(ValueError, match="no committed buckets"):
+        pipe.append(_delta_df(spark, 3), "nope")
