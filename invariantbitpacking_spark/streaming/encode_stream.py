@@ -93,3 +93,51 @@ def run_incremental_decode(spark: SparkSession, input_path: str,
     q = start_decode_stream(spark, input_path, output_path,
                             checkpoint_path, params, available_now=True)
     q.awaitTermination()
+
+
+def start_ingest_stream(spark: SparkSession, input_path: str,
+                        pipe, snapshot_id: str, checkpoint_path: str,
+                        available_now: bool = True,
+                        max_files_per_trigger: int | None = None
+                        ) -> StreamingQuery:
+    """Streaming ingest into a LIVING pipeline snapshot: each
+    micro-batch of newly-landed token documents upserts bucket-locally
+    via :meth:`plans.pipeline.CompressionPipeline.append` (foreachBatch
+    sink), so a continuously-growing corpus flows straight into the
+    wave-committed, lineage-audited encoded table without ever
+    re-encoding what already landed.
+
+    Delivery semantics: the file source's checkpoint makes each batch
+    at-least-once at the SINK, and ``append``'s upsert idempotency
+    turns a replayed batch into a byte-identical rewrite — so the
+    TABLE state is exactly-once even across crash/retry, and
+    ``verify_checksums`` stays green after every batch.  The snapshot
+    must already have committed buckets (run the initial corpus through
+    ``pipe.run`` first); params and the FSST table are the snapshot's
+    persisted ones, so streamed documents encode exactly as the batch
+    path would."""
+    reader = (spark.readStream.schema(TOKENS_DDL)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              if max_files_per_trigger else
+              spark.readStream.schema(TOKENS_DDL))
+    stream = reader.parquet(input_path)
+
+    def _sink(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            pipe.append(batch_df, snapshot_id, mode="upsert")
+
+    writer = (stream.writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_incremental_ingest(spark: SparkSession, input_path: str,
+                           pipe, snapshot_id: str,
+                           checkpoint_path: str) -> None:
+    """Ingest everything new under ``input_path`` into the snapshot
+    once and stop (AvailableNow)."""
+    q = start_ingest_stream(spark, input_path, pipe, snapshot_id,
+                            checkpoint_path, available_now=True)
+    q.awaitTermination()

@@ -72,3 +72,49 @@ def test_incremental_decode_stream(spark, tmp_path, tokens_df):
     # exactly-once: a second AvailableNow run appends nothing
     run_incremental_decode(spark, enc_dir, out_dir, ckpt, params)
     assert spark.read.parquet(out_dir).count() == tokens_df.count()
+
+
+def test_streaming_ingest_into_pipeline_snapshot(spark, tmp_path, tokens_df):
+    """File-source micro-batches upsert bucket-locally into a committed
+    snapshot; replaying the stream from the same checkpoint is a no-op
+    (table-state exactly-once via append's idempotent upsert)."""
+    from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+    from invariantbitpacking_spark.streaming.encode_stream import (
+        run_incremental_ingest)
+
+    out = str(tmp_path / "pipe")
+    pipe = CompressionPipeline(spark, out, num_buckets=8, wave_buckets=8,
+                               sample_fraction=None)
+    pipe.run(tokens_df, "live")
+    n0 = tokens_df.count()
+
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    d1 = spark.createDataFrame(
+        [(f"s-{i:03d}", list(range(i + 3, i + 40)), 37, "stream1")
+         for i in range(15)],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    d1.write.mode("append").parquet(inbox)
+    run_incremental_ingest(spark, inbox, pipe, "live", ckpt)
+    assert pipe.read_encoded("live").count() == n0 + 15
+    assert pipe.verify_checksums("live") == 0
+
+    # replay with no new files: checkpoint skips everything
+    run_incremental_ingest(spark, inbox, pipe, "live", ckpt)
+    assert pipe.read_encoded("live").count() == n0 + 15
+
+    # a second landing, including an UPSERT of a streamed doc
+    d2 = spark.createDataFrame(
+        [("s-000", list(range(500, 560)), 60, "stream2"),
+         ("s-900", list(range(9, 90)), 81, "stream2")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    d2.write.mode("append").parquet(inbox)
+    run_incremental_ingest(spark, inbox, pipe, "live", ckpt)
+    enc = pipe.read_encoded("live")
+    assert enc.count() == n0 + 16  # one replaced, one new
+    assert pipe.verify_checksums("live") == 0
+    # the whole corpus (initial + stream, upsert applied) round-trips
+    params = pipe.load_or_learn_params(tokens_df, "live")
+    final = (tokens_df.unionByName(d1.filter("doc_id != 's-000'"))
+             .unionByName(d2))
+    assert pipe.verify_roundtrip(final, params, "live") == 0
