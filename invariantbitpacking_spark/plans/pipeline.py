@@ -380,6 +380,84 @@ class CompressionPipeline:
                               totals["tokens"], totals["raw_bytes"],
                               totals["comp_bytes"])
 
+    def delete(self, ids: DataFrame, snapshot_id: str) -> PipelineResult:
+        """Bucket-local deletion (the right-to-erasure operation):
+        drop the given doc_ids from a committed snapshot by rewriting
+        ONLY the buckets they salt into — the delete twin of
+        :meth:`append`, same staged dynamic-partition-overwrite commit
+        and superseding lineage rows, so ``verify_checksums`` is green
+        immediately after.  ``ids`` is a DataFrame with a plain-string
+        ``doc_id`` column; matching against the stored table happens on
+        FSST-encoded bytes exactly like upsert.  Deleting ids that
+        don't exist is a no-op (the bucket is rewritten byte-identical
+        — idempotent by the same argument as append)."""
+        done = self.committed_buckets(snapshot_id)
+        if not done:
+            raise ValueError(
+                f"delete: snapshot {snapshot_id!r} has no committed "
+                "buckets — nothing to delete from")
+        nb = self.num_buckets
+        has_fsst = self.fs.exists(_join(self.params_dir, "fsst_table.json"))
+        fsst_table = None
+        if has_fsst:
+            meta = json.loads(self.fs.read_text(
+                _join(self.params_dir, "fsst_table.json")))
+            fsst_table = fstr.table_from_hex(meta["hex"],
+                                             meta.get("format_version", 2))
+        salted = ids.select(
+            F.col("doc_id").cast("string").alias("doc_id")).withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+        affected = sorted(r["bucket"] for r in
+                          salted.select("bucket").distinct().collect())
+        totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
+        waves = [affected[i:i + self.wave_buckets]
+                 for i in range(0, len(affected), self.wave_buckets)]
+        stage_root = _join(self.output_dir, "delete_staging", snapshot_id)
+        for wi, wave in enumerate(waves):
+            t0 = time.perf_counter()
+            paths = self._wave_paths(snapshot_id, wave)
+            if not paths:
+                continue
+            keys = salted.filter(F.col("bucket").isin(wave))
+            if fsst_table is not None:
+                keys = fstr.encode_string_cols(keys, fsst_table, ("doc_id",))
+            keys = keys.select(F.col("doc_id").alias("_k")).distinct()
+            existing = (self.spark.read
+                        .option("basePath", self.data_dir)
+                        .parquet(*paths))
+            kept = existing.join(keys, existing["doc_id"] == keys["_k"],
+                                 "left_anti")
+            stage = _join(stage_root, f"wave{wi}")
+            (kept.write.mode("overwrite")
+             .partitionBy("snapshot_id", "bucket").parquet(stage))
+            staged_dirs = [
+                _join(stage, f"snapshot_id={snapshot_id}", f"bucket={b}")
+                for b in wave
+                if self.fs.exists(_join(stage, f"snapshot_id={snapshot_id}",
+                                        f"bucket={b}"))]
+            if staged_dirs:
+                (self.spark.read.option("basePath", stage)
+                 .parquet(*staged_dirs)
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("snapshot_id", "bucket")
+                 .parquet(self.data_dir))
+            else:
+                # every document in these buckets was deleted: drop the
+                # now-empty partition directories outright
+                for p in paths:
+                    self.fs.delete(p, recursive=True)
+            wall = time.perf_counter() - t0
+            for r in self._commit_wave(snapshot_id, wave, wall):
+                for k in totals:
+                    totals[k] += int(r[k])
+        if self.fs.exists(stage_root):
+            self.fs.delete(stage_root, recursive=True)
+        return PipelineResult(snapshot_id, len(affected),
+                              nb - len(affected), totals["docs"],
+                              totals["tokens"], totals["raw_bytes"],
+                              totals["comp_bytes"])
+
     def cleanup_staging(self, snapshot_id: str) -> None:
         """Drop the staged (uncompressed) copy once every bucket of the
         snapshot is committed — it exists only to make waves prunable."""

@@ -277,3 +277,29 @@ def test_append_requires_committed_snapshot(spark, tokens_df, outdir):
     pipe = CompressionPipeline(spark, outdir, num_buckets=8)
     with pytest.raises(ValueError, match="no committed buckets"):
         pipe.append(_delta_df(spark, 3), "nope")
+
+
+def test_delete_docs_bucket_local(spark, tokens_df, outdir):
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=8,
+                               sample_fraction=None)
+    pipe.run(tokens_df, "snapA")
+    n0 = tokens_df.count()
+    victims = [r["doc_id"] for r in
+               tokens_df.select("doc_id").orderBy("doc_id").limit(5).collect()]
+    ids = spark.createDataFrame([(v,) for v in victims], "doc_id string")
+    res = pipe.delete(ids, "snapA")
+    assert res.buckets_done >= 1
+    enc = pipe.read_encoded("snapA")
+    assert enc.count() == n0 - 5
+    assert pipe.verify_checksums("snapA") == 0
+    # deleted ids are really gone; the rest round-trips bit-identically
+    params = pipe.load_or_learn_params(tokens_df, "snapA")
+    remaining = tokens_df.filter(~F.col("doc_id").isin(victims))
+    assert pipe.verify_roundtrip(remaining, params, "snapA") == 0
+    assert (pipe.read_encoded("snapA")
+            .filter(F.col("doc_id").isin(victims)).count() == 0)
+    # deleting ids that don't exist is a no-op
+    ghost = spark.createDataFrame([("nope-1",), ("nope-2",)], "doc_id string")
+    pipe.delete(ghost, "snapA")
+    assert pipe.read_encoded("snapA").count() == n0 - 5
+    assert pipe.verify_checksums("snapA") == 0
