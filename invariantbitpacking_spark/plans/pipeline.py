@@ -512,9 +512,15 @@ class CompressionPipeline:
     def verify_roundtrip(self, toks: DataFrame, params: IbpParams,
                          snapshot_id: str | None = None) -> int:
         """Full decode of the written table vs the source; returns the
-        mismatch count (0 == bit-identical corpus)."""
+        mismatch count PLUS the count of source documents missing from
+        the table (0 == the corpus is complete and bit-identical).
+        The missing half matters for a living snapshot: an inner join
+        alone would silently pass a table that lost documents."""
         dec = selector.decode_auto(self.read_encoded(snapshot_id), params)
-        return (toks.alias("a").join(dec.alias("b"), "doc_id")
-                .filter((F.col("a.tokens") != F.col("b.tokens"))
-                        | (F.col("a.n_tok") != F.col("b.n_tok")))
-                .count())
+        bad = (toks.alias("a").join(dec.alias("b"), "doc_id")
+               .filter((F.col("a.tokens") != F.col("b.tokens"))
+                       | (F.col("a.n_tok") != F.col("b.n_tok")))
+               .count())
+        missing = toks.join(dec.select("doc_id"), "doc_id",
+                            "left_anti").count()
+        return bad + missing

@@ -303,3 +303,6 @@ def test_delete_docs_bucket_local(spark, tokens_df, outdir):
     pipe.delete(ghost, "snapA")
     assert pipe.read_encoded("snapA").count() == n0 - 5
     assert pipe.verify_checksums("snapA") == 0
+    # the audit counts MISSING docs: verifying against the ORIGINAL
+    # corpus reports exactly the 5 deleted documents
+    assert pipe.verify_roundtrip(tokens_df, params, "snapA") == 5
