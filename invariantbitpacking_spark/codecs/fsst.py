@@ -277,6 +277,15 @@ def decode_strings(enc: np.ndarray, enc_lens: np.ndarray, table):
     consumed[1:] = esc[:-1]
     is_sym = ~esc & ~consumed
 
+    # A non-escape, non-consumed code past the table is a corrupt
+    # stream or a table/format_version mismatch — mapping it to
+    # sym_len 0 would silently drop bytes and return shorter strings.
+    bad = is_sym & (e.astype(np.int64) >= int(table.size))
+    if bad.any():
+        raise ValueError(
+            f"FSST decode: code {int(e[bad.argmax()])} >= table size "
+            f"{int(table.size)} — corrupt stream or symbol-table mismatch")
+
     out_len = np.where(esc, 1, np.where(consumed, 0, sym_len[e]))
     out_off = np.cumsum(out_len) - out_len
     out = np.zeros(int(out_len.sum()), np.uint8)

@@ -64,9 +64,17 @@ class HadoopFS:
             stream.write(bytearray(text.encode("utf-8")))
         finally:
             stream.close()
+        # Delete the old target only once the tmp file verifiably
+        # exists, and surface a failed rename loudly: swallowing a
+        # false return here would silently lose the previous metadata
+        # file (params JSON / FSST table), and a later append would
+        # re-learn params and fork the snapshot's encoding.
+        if not self._fs.exists(tmp):
+            raise IOError(f"write_text_atomic: tmp file vanished: {p}.tmp")
         if self._fs.exists(target):
             self._fs.delete(target, False)
-        self._fs.rename(tmp, target)
+        if not self._fs.rename(tmp, target):
+            raise IOError(f"write_text_atomic: rename failed: {p}.tmp -> {p}")
 
     # -- tree ops ----------------------------------------------------------
 

@@ -50,7 +50,8 @@ def _join(*parts: str) -> str:
 LINEAGE_SCHEMA = (
     "snapshot_id string, bucket int, status string, docs long, "
     "tokens long, raw_bytes long, comp_bytes long, codec_mix string, "
-    "payload_xxh long, wall_sec double, committed_at double"
+    "payload_xxh long, wall_sec double, committed_at double, "
+    "commit_seq long"
 )
 
 
@@ -91,9 +92,25 @@ class CompressionPipeline:
 
     def lineage(self) -> DataFrame:
         try:
-            return self.spark.read.parquet(self.lineage_dir)
+            df = (self.spark.read.option("mergeSchema", "true")
+                  .parquet(self.lineage_dir))
         except Exception:
             return self.spark.createDataFrame([], LINEAGE_SCHEMA)
+        # pre-commit_seq lineage files read as seq 0 (back-compat)
+        if "commit_seq" not in df.columns:
+            df = df.withColumn("commit_seq", F.lit(0).cast("long"))
+        return df
+
+    def _next_commit_seq(self) -> int:
+        """Monotonic per-pipeline commit sequence number: the
+        committed_at float ties when two commits of the same bucket
+        land within one clock reading (rapid streaming upserts), and a
+        tie would let latest_lineage surface a superseded checksum.
+        Derived from stored state (max over the tiny lineage table)
+        so it survives across pipeline object instances."""
+        row = self.lineage().agg(
+            F.max("commit_seq").alias("m")).collect()[0]
+        return int(row["m"] or 0) + 1
 
     def committed_buckets(self, snapshot_id: str) -> set[int]:
         rows = (self.lineage()
@@ -112,7 +129,11 @@ class CompressionPipeline:
         lin = (self.lineage()
                .filter((F.col("snapshot_id") == snapshot_id)
                        & (F.col("status") == "committed")))
-        w = Window.partitionBy("bucket").orderBy(F.desc("committed_at"))
+        # commit_seq is the strict tiebreaker (committed_at floats can
+        # tie under rapid streaming upserts); legacy rows all carry 0
+        # and fall back to committed_at
+        w = Window.partitionBy("bucket").orderBy(
+            F.desc("commit_seq"), F.desc("committed_at"))
         return (lin.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1).drop("rn"))
 
@@ -261,6 +282,7 @@ class CompressionPipeline:
         else:  # every bucket in the wave was empty
             stats, mixes = [], {}
         now = time.time()
+        seq = self._next_commit_seq()
         rows = []
         for r in stats:
             b = int(r["bucket"])
@@ -270,14 +292,14 @@ class CompressionPipeline:
                                      (mixes.get(b) or {}).items()},
                                     sort_keys=True),
                          int(r["payload_xxh"] or 0),
-                         wall / max(len(wave), 1), now))
+                         wall / max(len(wave), 1), now, seq))
         # empty buckets still commit (so resume skips them)
         got = {int(r["bucket"]) for r in stats}
         for b in wave:
             if b not in got:
                 rows.append((snapshot_id, b, "committed",
                              0, 0, 0, 0, "{}", 0,
-                             wall / max(len(wave), 1), now))
+                             wall / max(len(wave), 1), now, seq))
         (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
          .coalesce(1).write.mode("append").parquet(self.lineage_dir))
         return stats
@@ -285,7 +307,8 @@ class CompressionPipeline:
     # -- incremental ingest --------------------------------------------------
 
     def append(self, toks_delta: DataFrame, snapshot_id: str,
-               mode: str = "upsert") -> PipelineResult:
+               mode: str = "upsert",
+               order_col: str | None = None) -> PipelineResult:
         """Incremental ingest into a COMMITTED snapshot: the delta's
         documents salt into their buckets, and ONLY those bucket
         directories are rewritten (surviving existing rows plus the
@@ -315,6 +338,23 @@ class CompressionPipeline:
         original run would have."""
         if mode not in ("upsert", "append"):
             raise ValueError(f"append: unknown mode {mode!r}")
+        # Dedupe the delta ITSELF on doc_id: the upsert anti-join only
+        # removes pre-existing rows, so a doc_id appearing twice within
+        # one delta (two inbox files carrying the same revised doc in a
+        # single availableNow micro-batch) would be written twice,
+        # corrupting counts.  ``order_col`` names a column whose
+        # largest value wins (e.g. a revision timestamp); without one
+        # the winner is picked by a deterministic content hash so that
+        # re-running the same delta converges to identical bytes.
+        from pyspark.sql import Window
+        tie = (F.col(order_col) if order_col is not None
+               else F.xxhash64("tokens", "n_tok", "source"))
+        w = Window.partitionBy("doc_id").orderBy(F.desc(tie))
+        toks_delta = (toks_delta
+                      .withColumn("_rn", F.row_number().over(w))
+                      .filter(F.col("_rn") == 1).drop("_rn"))
+        if order_col is not None:  # ordering column is not payload
+            toks_delta = toks_delta.drop(order_col)
         done = self.committed_buckets(snapshot_id)
         if not done:
             raise ValueError(
@@ -442,11 +482,23 @@ class CompressionPipeline:
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("snapshot_id", "bucket")
                  .parquet(self.data_dir))
-            else:
-                # every document in these buckets was deleted: drop the
-                # now-empty partition directories outright
-                for p in paths:
-                    self.fs.delete(p, recursive=True)
+            # Per-bucket: dynamic partition overwrite rewrites ONLY the
+            # partitions present in the staged frame, so a bucket whose
+            # every document was deleted (no staged dir) must have its
+            # data dir dropped outright — even when the same wave also
+            # carries partially-emptied buckets.  Gating this on
+            # staged_dirs being entirely empty left fully-emptied
+            # buckets' old files in place (a right-to-erasure
+            # violation that verify_checksums couldn't see, because
+            # _commit_wave would re-commit the stale bucket's stats).
+            staged_set = set(staged_dirs)
+            for b in wave:
+                ddir = _join(self.data_dir, f"snapshot_id={snapshot_id}",
+                             f"bucket={b}")
+                sdir = _join(stage, f"snapshot_id={snapshot_id}",
+                             f"bucket={b}")
+                if sdir not in staged_set and self.fs.exists(ddir):
+                    self.fs.delete(ddir, recursive=True)
             wall = time.perf_counter() - t0
             for r in self._commit_wave(snapshot_id, wave, wall):
                 for k in totals:

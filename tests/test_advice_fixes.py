@@ -115,3 +115,23 @@ def test_offsets32_guard():
     assert off.dtype == np.int32 and off.tolist() == [0, 10, 30]
     with pytest.raises(ValueError, match="int32-offset"):
         _offsets32(np.array([2**31], np.int64), 1)
+
+
+def test_fsst_decode_raises_on_out_of_table_code():
+    """Round-4 ADVICE: a non-escape code >= table.size (corrupt stream
+    or table mismatch) must raise, not silently shorten the output."""
+    from invariantbitpacking_spark.codecs import fsst
+
+    corpus = [b"the quick brown fox the quick", b"the the the fox"] * 8
+    flat, lens = fsst.strings_to_flat([c.decode() for c in corpus])
+    table = fsst.build_table(flat)
+    assert 0 < table.size < 250  # room for an out-of-table code
+    enc, enc_lens = fsst.encode_strings(flat, lens, table)
+    # round-trips cleanly before corruption
+    dec, dec_lens = fsst.decode_strings(enc, enc_lens, table)
+    assert np.array_equal(dec, flat) and np.array_equal(dec_lens, lens)
+    # corrupt: overwrite the first code with one past the table
+    bad = enc.copy()
+    bad[0] = table.size  # < ESCAPE, not preceded by a marker
+    with pytest.raises(ValueError, match="corrupt stream"):
+        fsst.decode_strings(bad, enc_lens, table)

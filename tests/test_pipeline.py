@@ -306,3 +306,102 @@ def test_delete_docs_bucket_local(spark, tokens_df, outdir):
     # the audit counts MISSING docs: verifying against the ORIGINAL
     # corpus reports exactly the 5 deleted documents
     assert pipe.verify_roundtrip(tokens_df, params, "snapA") == 5
+
+
+def test_delete_empties_bucket_in_mixed_wave(spark, tokens_df, outdir):
+    """Round-4 ADVICE (high): a wave containing BOTH a fully-emptied
+    bucket and a partially-emptied bucket must drop the emptied
+    bucket's partition dir — dynamic partition overwrite alone only
+    rewrites the staged (partially-emptied) partitions."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=8,
+                               sample_fraction=None)
+    pipe.run(tokens_df, "snapDEL")
+    bucketed = tokens_df.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"))
+    # every doc of one bucket + ONE doc of a different bucket
+    b0 = bucketed.groupBy("bucket").count().orderBy("count").first()["bucket"]
+    full_victims = [r["doc_id"] for r in
+                    bucketed.filter(F.col("bucket") == b0)
+                    .select("doc_id").collect()]
+    other = (bucketed.filter(F.col("bucket") != b0)
+             .select("doc_id").orderBy("doc_id").first()["doc_id"])
+    victims = full_victims + [other]
+    ids = spark.createDataFrame([(v,) for v in victims], "doc_id string")
+    pipe.delete(ids, "snapDEL")
+    enc = pipe.read_encoded("snapDEL")
+    # right to erasure: every victim gone, including the whole bucket
+    assert enc.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert enc.count() == tokens_df.count() - len(victims)
+    assert pipe.verify_checksums("snapDEL") == 0
+    # the emptied bucket's partition dir is physically gone
+    import os
+    ddir = os.path.join(outdir, "encoded", "snapshot_id=snapDEL",
+                        f"bucket={b0}")
+    assert not os.path.exists(ddir)
+    params = pipe.load_or_learn_params(tokens_df, "snapDEL")
+    remaining = tokens_df.filter(~F.col("doc_id").isin(victims))
+    assert pipe.verify_roundtrip(remaining, params, "snapDEL") == 0
+
+
+def test_append_upsert_dedupes_delta(spark, tokens_df, outdir):
+    """Round-4 ADVICE: a doc_id appearing twice WITHIN one delta must
+    be written once (dedup before encode), keeping counts correct and
+    re-runs idempotent; with order_col the largest value wins."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(100)
+    pipe.run(sub, "snapDD")
+    n0 = sub.count()
+    dup_delta = spark.createDataFrame(
+        [("dup-doc", [1, 2, 3], 3, "web"),
+         ("dup-doc", [9, 9, 9, 9], 4, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    pipe.append(dup_delta, "snapDD", mode="upsert")
+    enc = pipe.read_encoded("snapDD")
+    assert enc.count() == n0 + 1  # ONE row for dup-doc, not two
+    assert enc.filter(F.col("doc_id") == "dup-doc").count() == 1
+    assert pipe.verify_checksums("snapDD") == 0
+    # re-running the same delta converges (idempotent even with dupes)
+    pipe.append(dup_delta, "snapDD", mode="upsert")
+    assert pipe.read_encoded("snapDD").count() == n0 + 1
+    assert pipe.verify_checksums("snapDD") == 0
+    # order_col: the row with the larger revision wins deterministically
+    rev_delta = spark.createDataFrame(
+        [("rev-doc", [5, 5], 2, "web", 1),
+         ("rev-doc", [7, 7, 7], 3, "web", 2)],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "rev int")
+    pipe.append(rev_delta, "snapDD", mode="upsert", order_col="rev")
+    params = pipe.load_or_learn_params(sub, "snapDD")
+    from invariantbitpacking_spark.operators import selector
+    dec = selector.decode_auto(pipe.read_encoded("snapDD"), params)
+    row = dec.filter(F.col("doc_id") == "rev-doc").first()
+    assert list(row["tokens"]) == [7, 7, 7]
+
+
+def test_lineage_commit_seq_supersedes_ties(spark, tokens_df, outdir):
+    """Round-4 ADVICE: commit_seq is a strict monotonic tiebreaker so
+    two commits of one bucket within a single clock reading cannot
+    surface a superseded checksum through latest_lineage."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(80)
+    pipe.run(sub, "snapSEQ")
+    delta = spark.createDataFrame(
+        [("seq-doc", [1, 2], 2, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    pipe.append(delta, "snapSEQ", mode="upsert")
+    lin = pipe.lineage().filter(F.col("snapshot_id") == "snapSEQ")
+    seqs = sorted(r["commit_seq"] for r in
+                  lin.select("commit_seq").distinct().collect())
+    assert len(seqs) >= 2 and seqs == sorted(set(seqs))  # distinct, rising
+    # the appended bucket's latest row carries the HIGHEST seq even if
+    # committed_at tied (simulate a tie by equalizing committed_at)
+    bucket = lin.groupBy("bucket").count().filter(
+        F.col("count") > 1).first()["bucket"]
+    latest = pipe.latest_lineage("snapSEQ").filter(
+        F.col("bucket") == bucket).first()
+    top_seq = lin.filter(F.col("bucket") == bucket).agg(
+        F.max("commit_seq")).first()[0]
+    assert latest["commit_seq"] == top_seq
+    assert pipe.verify_checksums("snapSEQ") == 0
