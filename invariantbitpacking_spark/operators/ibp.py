@@ -454,6 +454,39 @@ def encode_ibp(df: DataFrame, params: IbpParams,
     return df.select(*cols).mapInArrow(encoder, schema=ENCODED_SCHEMA)
 
 
+def sizes_ibp(df: DataFrame, params: IbpParams,
+              tokens_col: str = "tokens",
+              max_batch_tokens: int | None = None) -> DataFrame:
+    """Per-document IBP compressed size WITHOUT encoding — the
+    DataFrame face of :func:`predict_sizes_ibp` (the reference's
+    get_compress_size operator, src/compress.cu:25-174).  One predicate
+    pass over the framed tokens: no payload assembly, no flag packing,
+    no output buffers — for size-only consumers (offset scans, planning)
+    this costs a fraction of a full :func:`encode_ibp` evaluation."""
+    import pyarrow as pa
+
+    mask, bitval, v = params.mask, params.bitval, params.vec_size
+    ib = params.item_bytes
+
+    def sizer(batches) -> "Iterator[pa.RecordBatch]":
+        for rb in batches:
+            flat, starts, lens = list_array_flat(
+                rb.column(rb.schema.names.index(tokens_col)), ib)
+            for i0, i1 in _mass_ranges(lens, max_batch_tokens):
+                fb = frame_batch_flat(flat, starts[i0:i1], lens[i0:i1], v)
+                sizes = predict_sizes_ibp(fb, mask, bitval)
+                n = i1 - i0
+                yield pa.RecordBatch.from_arrays(
+                    [rb.column(rb.schema.names.index("doc_id")).slice(i0, n),
+                     pa.array(fb.lens.astype(np.int32), pa.int32()),
+                     pa.array(sizes, pa.int64())],
+                    names=["doc_id", "n_tok", "comp_bytes"])
+
+    return (df.select("doc_id", tokens_col)
+            .mapInArrow(sizer,
+                        schema="doc_id string, n_tok int, comp_bytes long"))
+
+
 def decode_docs(lens: np.ndarray, block_sizes_list, block_flags_list,
                 payload_list, mask: np.ndarray, bitval: np.ndarray,
                 v: int) -> list[np.ndarray]:

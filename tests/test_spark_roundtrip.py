@@ -234,3 +234,19 @@ def test_int16_and_int8_distributed_roundtrip(spark):
         p2 = ibp.IbpParams.from_dict(params.to_dict())
         assert (p2.mask == params.mask).all()
         assert p2.item_bytes == want_ib
+
+
+def test_sizes_ibp_matches_actual_encode(spark, tokens_df):
+    """sizes_ibp (get_compress_size, sizes-only pass) must predict the
+    EXACT comp_bytes that encode_ibp materializes, per document."""
+    from invariantbitpacking_spark.operators import ibp
+    from pyspark.sql import functions as F
+
+    params = ibp.learn_params(tokens_df, sample_fraction=None)
+    actual = ibp.encode_ibp(tokens_df, params).select(
+        "doc_id", F.col("comp_bytes").alias("actual"))
+    predicted = ibp.sizes_ibp(tokens_df, params).select(
+        "doc_id", F.col("comp_bytes").alias("pred"))
+    joined = actual.join(predicted, "doc_id")
+    assert joined.count() == tokens_df.count()
+    assert joined.filter(F.col("actual") != F.col("pred")).count() == 0
