@@ -326,6 +326,43 @@ def q_condensed_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "end_offset long"))
 
 
+_SNAP_TAG = "v1"  # bump when the encoded on-disk layout changes
+
+
+def q_gather_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Store-level point fetch through the DURABLE pipeline — the
+    snapshot-backed twin of gather_decode (decompress_fetch with
+    index_arr, reference src/decompress.cu:56-98).  Builds (once per
+    sf_dir, resumable no-op afterwards) a committed snapshot in a
+    deterministic temp dir, then ``CompressionPipeline.fetch(ids)``:
+    driver-side ``xxhash64(doc_id) % nb`` bucket computation, pruned
+    bucket-dir listing, broadcast semi-join on the FSST-encoded doc_id
+    bytes, and decode of ONLY the hits.  The oracle recomputes the
+    fetched documents' tokens straight from the text, so every value
+    proves the store round-trip is bit-faithful."""
+    import hashlib
+    import os
+    import tempfile
+
+    from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+
+    toks = _tokens(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(),
+                       f"ibp_snap_{_SNAP_TAG}_{key}")
+    pipe = CompressionPipeline(spark, out, num_buckets=16, wave_buckets=16,
+                               sample_fraction=None)
+    pipe.run(toks, "snapQ")
+    want = [r["doc_id"] for r in
+            toks.select("doc_id")
+            .filter(F.col("doc_id").endswith("42")).collect()]
+    dec = pipe.fetch(want, "snapQ")
+    return dec.select(
+        "doc_id", "n_tok",
+        F.element_at("tokens", 1).alias("tok_first"),
+        F.element_at("tokens", -1).alias("tok_last"))
+
+
 def _tokens64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int64 view of the tokens table: each int32 token widened to
     ``(t << 20) + t`` so the high word is populated but keeps invariant
@@ -869,6 +906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_decode": q_gather_decode,
         "gather_encode": q_gather_encode,
         "condensed_offsets": q_condensed_offsets,
+        "gather_snapshot": q_gather_snapshot,
         "kmeans_roundtrip_by_source": q_kmeans_roundtrip_by_source,
         "kmeans_vs_global_ratio": q_kmeans_vs_global_ratio,
         "kmeans_vs_global_shape": q_kmeans_vs_global_shape,
@@ -1638,6 +1676,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(toks[-1] AS INT) AS tok_last
             FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
             WHERE CAST(doc_id AS VARCHAR) LIKE '%3'
+        """,
+        "gather_snapshot": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(toks) AS INT) AS n_tok,
+                   CAST(toks[1] AS INT) AS tok_first,
+                   CAST(toks[-1] AS INT) AS tok_last
+            FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+            WHERE CAST(doc_id AS VARCHAR) LIKE '%42'
         """,
         "fsst_roundtrip": """
             SELECT source, COUNT(*) AS docs, COUNT(*) AS ok_docs

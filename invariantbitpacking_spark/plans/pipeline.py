@@ -200,6 +200,27 @@ class CompressionPipeline:
                        f"bucket={b}") for b in wave]
         return [p for p in paths if self.fs.exists(p)]
 
+    def _load_params(self, snapshot_id: str) -> IbpParams:
+        """The snapshot's PERSISTED codec params — read-side twin of
+        load_or_learn_params for operations (fetch) that must never
+        learn fresh params."""
+        path = _join(self.params_dir, f"{snapshot_id}.json")
+        if not self.fs.exists(path):
+            raise ValueError(
+                f"no persisted params for snapshot {snapshot_id!r} "
+                f"at {path} — run() the snapshot first")
+        return IbpParams.from_dict(json.loads(self.fs.read_text(path)))
+
+    def _fsst_table(self):
+        """The persisted global FSST table, or None for legacy v1
+        outputs with plain string columns."""
+        path = _join(self.params_dir, "fsst_table.json")
+        if not self.fs.exists(path):
+            return None
+        meta = json.loads(self.fs.read_text(path))
+        return fstr.table_from_hex(meta["hex"],
+                                   meta.get("format_version", 2))
+
     # -- main --------------------------------------------------------------
 
     def run(self, toks: DataFrame, snapshot_id: str,
@@ -437,13 +458,7 @@ class CompressionPipeline:
                 f"delete: snapshot {snapshot_id!r} has no committed "
                 "buckets — nothing to delete from")
         nb = self.num_buckets
-        has_fsst = self.fs.exists(_join(self.params_dir, "fsst_table.json"))
-        fsst_table = None
-        if has_fsst:
-            meta = json.loads(self.fs.read_text(
-                _join(self.params_dir, "fsst_table.json")))
-            fsst_table = fstr.table_from_hex(meta["hex"],
-                                             meta.get("format_version", 2))
+        fsst_table = self._fsst_table()
         salted = ids.select(
             F.col("doc_id").cast("string").alias("doc_id")).withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
@@ -541,6 +556,64 @@ class CompressionPipeline:
         table = fstr.table_from_hex(meta["hex"],
                                     meta.get("format_version", 2))
         return fstr.decode_string_cols(df, table, enc_cols)
+
+    def fetch(self, ids, snapshot_id: str, decode: bool = True) -> DataFrame:
+        """Store-level point fetch — "give me these documents", the
+        most common operation against a compressed corpus store, and
+        the durable twin of ``decompress_fetch(index_arr)`` (reference
+        src/decompress.cu:56-98, proven at DataFrame level by the
+        gather_decode query).
+
+        ``ids`` is a bounded list of doc_id strings (a point lookup,
+        not a scan).  Because ``bucket = xxhash64(doc_id) % nb`` is
+        computable from the ids alone (one tiny local job, exactly as
+        :meth:`append`/:meth:`delete` salt their deltas), the read
+        lists ONLY the ids' own bucket directories — a 10-doc fetch
+        from a 100 TB snapshot opens <= 10 bucket dirs instead of
+        listing every partition the way :meth:`read_encoded` must.
+        Inside those buckets a broadcast semi-join on the
+        FSST-encoded doc_id bytes selects the hits (deterministic
+        encoding => byte equality IS id equality, no decode pass),
+        and only the hits are decoded.
+
+        ``decode=False`` returns the matching ENCODED rows (payload,
+        block_sizes, flags...) with string columns decoded — the
+        store-side gather for consumers that ship blobs onward."""
+        from ..operators import selector
+
+        ids = [str(i) for i in ids]
+        nb = self.num_buckets
+        id_df = self.spark.createDataFrame([(i,) for i in ids],
+                                           "doc_id string")
+        if ids:
+            pairs = (id_df.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
+                .select("bucket").distinct().collect())
+            buckets = sorted(r["bucket"] for r in pairs)
+        else:
+            buckets = []
+        paths = self._wave_paths(snapshot_id, buckets)
+        params = self._load_params(snapshot_id)
+        if not paths:  # nothing stored in any target bucket
+            empty = self.spark.createDataFrame(
+                [], "doc_id string, tokens array<int>, n_tok int, "
+                    "source string")
+            return empty
+        enc = (self.spark.read.option("basePath", self.data_dir)
+               .parquet(*paths))
+        table = self._fsst_table()
+        keys = id_df
+        if table is not None and dict(enc.dtypes).get("doc_id") == "binary":
+            keys = fstr.encode_string_cols(keys, table, ("doc_id",))
+        hits = enc.join(F.broadcast(keys), "doc_id", "left_semi")
+        enc_cols = tuple(c for c in ("doc_id", "source")
+                         if dict(hits.dtypes).get(c) == "binary")
+        if table is not None and enc_cols:
+            hits = fstr.decode_string_cols(hits, table, enc_cols)
+        if not decode:
+            return hits
+        return selector.decode_auto(hits, params)
 
     def verify_checksums(self, snapshot_id: str) -> int:
         """Integrity audit against lineage: recompute each committed

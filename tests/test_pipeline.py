@@ -405,3 +405,36 @@ def test_lineage_commit_seq_supersedes_ties(spark, tokens_df, outdir):
         F.max("commit_seq")).first()[0]
     assert latest["commit_seq"] == top_seq
     assert pipe.verify_checksums("snapSEQ") == 0
+
+
+def test_fetch_point_lookup_prunes_buckets(spark, tokens_df, outdir):
+    """Store-level point fetch: decoded tokens bit-identical for a
+    small id list, and the scan physically opens ONLY the target
+    buckets' directories (partition pruning via driver-side bucket
+    computation), never the whole snapshot."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=8,
+                               sample_fraction=None)
+    pipe.run(tokens_df, "snapF")
+    want = [r["doc_id"] for r in
+            tokens_df.select("doc_id").orderBy("doc_id").limit(10).collect()]
+    dec = pipe.fetch(want, "snapF")
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+           for r in dec.collect()}
+    src = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+           for r in tokens_df.filter(F.col("doc_id").isin(want)).collect()}
+    assert got == src  # bit-identical tokens, complete hit set
+    # pruning: every input file lies under a bucket the ids salt into
+    target = {r["bucket"] for r in
+              spark.createDataFrame([(w,) for w in want], "doc_id string")
+              .withColumn("bucket",
+                          F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"))
+              .collect()}
+    assert len(target) < 8  # the lookup must actually prune something
+    files = pipe.fetch(want, "snapF", decode=False).inputFiles()
+    assert files
+    for f in files:
+        assert any(f"bucket={b}/" in f or f.endswith(f"bucket={b}")
+                   for b in target), f
+    # unknown ids: empty result, not an error
+    assert pipe.fetch(["nope-1"], "snapF").count() == 0
+    assert pipe.fetch([], "snapF").count() == 0
