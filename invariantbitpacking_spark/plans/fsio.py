@@ -80,3 +80,10 @@ class HadoopFS:
 
     def delete(self, p: str, recursive: bool = True) -> bool:
         return bool(self._fs.delete(self._path(p), recursive))
+
+    def listdir(self, p: str) -> list[str]:
+        """Child names (not paths) of a directory; [] if absent."""
+        if not self.exists(p):
+            return []
+        return [str(s.getPath().getName())
+                for s in self._fs.listStatus(self._path(p))]

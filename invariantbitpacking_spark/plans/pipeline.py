@@ -78,6 +78,7 @@ class CompressionPipeline:
         self.spark = spark
         self.output_dir = output_dir
         self.data_dir = _join(output_dir, "encoded")
+        self.delta_dir = _join(output_dir, "delta")
         self.lineage_dir = _join(output_dir, "lineage")
         self.params_dir = _join(output_dir, "params")
         # ALL driver-side metadata I/O goes through the Hadoop
@@ -221,6 +222,91 @@ class CompressionPipeline:
         return fstr.table_from_hex(meta["hex"],
                                    meta.get("format_version", 2))
 
+    # -- merge-on-read deltas ------------------------------------------------
+    #
+    # Small appends write per-bucket DELTA files instead of rewriting
+    # the bucket (an O(bucket) cost class that made a 20-doc upsert pay
+    # ~25% of a from-scratch encode).  Layout:
+    #   <out>/delta/snapshot_id=S/bucket=B/delta_seq=N/part-*.parquet
+    # delta_seq is the pipeline's monotonic commit sequence, so
+    # latest-wins ordering is exact.  Readers resolve
+    #   current = base ANTI-JOIN delta-doc_ids  UNION  latest-delta-rows
+    # where the anti-join key set is broadcast — deltas are small by
+    # contract (that is what makes them deltas); once they are not,
+    # :meth:`compact` folds them into the base and the read plan
+    # returns to a pure scan.
+
+    def _delta_buckets(self, snapshot_id: str) -> list[int]:
+        """Buckets of a snapshot that currently carry delta files."""
+        names = self.fs.listdir(
+            _join(self.delta_dir, f"snapshot_id={snapshot_id}"))
+        return sorted(int(n.split("=", 1)[1]) for n in names
+                      if n.startswith("bucket="))
+
+    def _delta_paths(self, snapshot_id: str, buckets=None) -> list[str]:
+        have = self._delta_buckets(snapshot_id)
+        if buckets is not None:
+            have = [b for b in have if b in set(buckets)]
+        return [_join(self.delta_dir, f"snapshot_id={snapshot_id}",
+                      f"bucket={b}") for b in have]
+
+    @staticmethod
+    def _latest_delta(deltas: DataFrame) -> DataFrame:
+        """One row per (snapshot_id, doc_id), highest delta_seq wins.
+        The window runs over the SMALL delta set only — never the
+        base."""
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy("snapshot_id", "doc_id")
+             .orderBy(F.desc("delta_seq")))
+        return (deltas.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn", "delta_seq"))
+
+    def _resolved(self, snapshot_id: str | None = None,
+                  buckets=None) -> DataFrame:
+        """The snapshot's CURRENT logical rows: base minus doc_ids
+        superseded by deltas, plus the latest delta rows.  The big side
+        (base) is never shuffled — superseded rows fall to a broadcast
+        anti-join on the small delta key set.  ``buckets`` prunes both
+        listings to the given bucket dirs (the fetch path)."""
+        if buckets is not None:
+            if snapshot_id is None:
+                raise ValueError("bucket pruning needs a snapshot_id")
+            base_paths = self._wave_paths(snapshot_id, buckets)
+            if not base_paths:
+                base = None
+            else:
+                base = (self.spark.read
+                        .option("basePath", self.data_dir)
+                        .parquet(*base_paths))
+            delta_paths = self._delta_paths(snapshot_id, buckets)
+        else:
+            try:
+                base = self.spark.read.parquet(self.data_dir)
+            except Exception:
+                base = None
+            if snapshot_id is not None:
+                if base is not None:
+                    base = base.filter(F.col("snapshot_id") == snapshot_id)
+                delta_paths = self._delta_paths(snapshot_id)
+            else:
+                delta_paths = ([self.delta_dir]
+                               if self.fs.listdir(self.delta_dir) else [])
+        if not delta_paths:
+            if base is None:
+                raise ValueError("nothing stored at "
+                                 f"{self.data_dir} / {self.delta_dir}")
+            return base
+        deltas = (self.spark.read.option("basePath", self.delta_dir)
+                  .parquet(*delta_paths))
+        latest = self._latest_delta(deltas)
+        if base is None:
+            return latest
+        keys = latest.select("snapshot_id", "doc_id")
+        kept = base.join(F.broadcast(keys), ["snapshot_id", "doc_id"],
+                         "left_anti")
+        return kept.unionByName(latest, allowMissingColumns=True)
+
     # -- main --------------------------------------------------------------
 
     def run(self, toks: DataFrame, snapshot_id: str,
@@ -249,6 +335,10 @@ class CompressionPipeline:
             # string columns ride FSST-encoded against the global table
             enc = fstr.encode_string_cols(enc, fsst_table,
                                           ("doc_id", "source"))
+            # persisted per-row payload hash: lets delta-append commits
+            # recompute bucket checksums from THIN columns (no payload
+            # read) — see _append_delta
+            enc = enc.withColumn("row_xxh", F.xxhash64("payload"))
             # Idempotent wave commit: dynamic partition overwrite replaces
             # exactly the (snapshot_id, bucket) dirs present in this wave's
             # output, so a wave retried after a crash between the data
@@ -329,7 +419,8 @@ class CompressionPipeline:
 
     def append(self, toks_delta: DataFrame, snapshot_id: str,
                mode: str = "upsert",
-               order_col: str | None = None) -> PipelineResult:
+               order_col: str | None = None,
+               strategy: str = "delta") -> PipelineResult:
         """Incremental ingest into a COMMITTED snapshot: the delta's
         documents salt into their buckets, and ONLY those bucket
         directories are rewritten (surviving existing rows plus the
@@ -356,9 +447,19 @@ class CompressionPipeline:
         delta converges to identical bytes and checksums (idempotent);
         codec params and the FSST table are the snapshot's persisted
         ones, so every appended document is encoded exactly as the
-        original run would have."""
+        original run would have.
+
+        ``strategy="delta"`` (default) is O(delta): the encoded delta
+        lands as per-bucket DELTA files (merge-on-read, see the delta
+        section above) and the lineage commit recomputes bucket stats
+        incrementally from thin columns — no existing row is re-read
+        in bulk or rewritten.  ``strategy="rewrite"`` is the original
+        bucket rewrite (what :meth:`compact` uses internally) — the
+        right call for bulk deltas comparable to the bucket size."""
         if mode not in ("upsert", "append"):
             raise ValueError(f"append: unknown mode {mode!r}")
+        if strategy not in ("delta", "rewrite"):
+            raise ValueError(f"append: unknown strategy {strategy!r}")
         # Dedupe the delta ITSELF on doc_id: the upsert anti-join only
         # removes pre-existing rows, so a doc_id appearing twice within
         # one delta (two inbox files carrying the same revised doc in a
@@ -393,6 +494,17 @@ class CompressionPipeline:
             .withColumn("snapshot_id", F.lit(snapshot_id)))
         affected = sorted(r["bucket"] for r in
                           salted.select("bucket").distinct().collect())
+        if strategy == "delta":
+            return self._append_delta(salted, snapshot_id, params,
+                                      fsst_table, affected)
+        # -- rewrite strategy: fold any pending deltas into the base
+        # first so the bucket rewrite sees ONE physical copy (a rewrite
+        # that ignored live delta files would be silently superseded by
+        # them at read time)
+        delta_b = sorted(set(self._delta_buckets(snapshot_id))
+                         & set(affected))
+        if delta_b:
+            self.compact(snapshot_id, delta_b)
         totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
         waves = [affected[i:i + self.wave_buckets]
                  for i in range(0, len(affected), self.wave_buckets)]
@@ -410,6 +522,8 @@ class CompressionPipeline:
                 existing = (self.spark.read
                             .option("basePath", self.data_dir)
                             .parquet(*paths))
+                if "row_xxh" in existing.columns:
+                    existing = existing.drop("row_xxh")
                 if mode == "upsert":
                     keys = enc.select(F.col("doc_id").alias("_k")).distinct()
                     existing = (existing.join(
@@ -417,6 +531,7 @@ class CompressionPipeline:
                 combined = existing.select(*enc.columns).unionByName(enc)
             else:
                 combined = enc
+            combined = combined.withColumn("row_xxh", F.xxhash64("payload"))
             stage = _join(stage_root, f"wave{wi}")
             (combined.write.mode("overwrite")
              .partitionBy("snapshot_id", "bucket").parquet(stage))
@@ -441,6 +556,205 @@ class CompressionPipeline:
                               totals["tokens"], totals["raw_bytes"],
                               totals["comp_bytes"])
 
+    def _append_delta(self, salted: DataFrame, snapshot_id: str,
+                      params: IbpParams, fsst_table,
+                      affected: list) -> PipelineResult:
+        """O(delta) upsert: encode ONLY the delta, land it as
+        per-bucket delta files, and commit superseding lineage rows
+        whose stats are updated INCREMENTALLY —
+        ``new_xxh = old_xxh ^ xor(replaced row hashes) ^ xor(added
+        row hashes)`` — from thin columns (doc_id, codec, counts,
+        row_xxh).  The bucket's payload bytes are neither read in bulk
+        nor rewritten, which is what moves a 20-doc upsert out of the
+        O(bucket) cost class.  Read-side semantics are always
+        latest-wins upsert (see ``_resolved``)."""
+        nb = self.num_buckets
+        totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
+        waves = [affected[i:i + self.wave_buckets]
+                 for i in range(0, len(affected), self.wave_buckets)]
+        for wave in waves:
+            t0 = time.perf_counter()
+            part = salted.filter(F.col("bucket").isin(wave))
+            enc = selector.encode_auto(part, params, allowed=self.allowed,
+                                       passthrough=("bucket", "snapshot_id"))
+            if fsst_table is not None:
+                enc = fstr.encode_string_cols(enc, fsst_table,
+                                              ("doc_id", "source"))
+            enc = enc.withColumn("row_xxh", F.xxhash64("payload"))
+            seq = self._next_commit_seq()
+            enc = enc.withColumn("delta_seq", F.lit(seq).cast("long"))
+            # Stats of the rows this delta SUPERSEDES, computed from
+            # the pre-delta resolved view restricted (broadcast
+            # semi-join) to the delta's keys.  row_xxh keeps the scan
+            # thin; a legacy base without the column falls back to
+            # hashing payload for this wave (documented degradation).
+            keys = (part.select("snapshot_id", "doc_id").distinct())
+            if fsst_table is not None:
+                keys = fstr.encode_string_cols(keys, fsst_table,
+                                               ("doc_id",))
+            repl = []
+            try:
+                cur = self._resolved(snapshot_id, wave)
+            except ValueError:
+                cur = None
+            if cur is not None:
+                if "row_xxh" in cur.columns:
+                    hx = F.coalesce(F.col("row_xxh"),
+                                    F.xxhash64("payload"))
+                else:
+                    hx = F.xxhash64("payload")
+                matched = (cur.join(F.broadcast(keys),
+                                    ["snapshot_id", "doc_id"], "left_semi")
+                           .withColumn("_hx", hx))
+                repl = (matched.groupBy("bucket", "codec").agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum("n_tok").alias("tokens"),
+                    F.sum("raw_bytes").alias("raw_bytes"),
+                    F.sum("comp_bytes").alias("comp_bytes"),
+                    F.expr("bit_xor(_hx)").alias("xxh"))
+                    .collect())
+            (enc.write.mode("append")
+             .partitionBy("snapshot_id", "bucket", "delta_seq")
+             .parquet(self.delta_dir))
+            # read BACK the written delta (thin columns) for the added
+            # stats — same read-back discipline as _commit_wave, and it
+            # avoids evaluating the encode twice
+            new_paths = [
+                _join(self.delta_dir, f"snapshot_id={snapshot_id}",
+                      f"bucket={b}", f"delta_seq={seq}")
+                for b in wave]
+            new_paths = [p for p in new_paths if self.fs.exists(p)]
+            added = []
+            if new_paths:
+                written = (self.spark.read
+                           .option("basePath", self.delta_dir)
+                           .parquet(*new_paths))
+                added = (written.groupBy("bucket", "codec").agg(
+                    F.count(F.lit(1)).alias("docs"),
+                    F.sum("n_tok").alias("tokens"),
+                    F.sum("raw_bytes").alias("raw_bytes"),
+                    F.sum("comp_bytes").alias("comp_bytes"),
+                    F.expr("bit_xor(row_xxh)").alias("xxh"))
+                    .collect())
+            wall = time.perf_counter() - t0
+            for r in self._commit_delta_wave(snapshot_id, wave, repl,
+                                             added, wall):
+                for k in totals:
+                    totals[k] += int(r[k])
+        return PipelineResult(snapshot_id, len(affected),
+                              nb - len(affected), totals["docs"],
+                              totals["tokens"], totals["raw_bytes"],
+                              totals["comp_bytes"])
+
+    def _commit_delta_wave(self, snapshot_id: str, wave, repl, added,
+                           wall: float) -> list:
+        """Superseding lineage rows for a delta wave: per bucket,
+        old stats minus replaced plus added (counts subtract/add, the
+        XOR-fold composes exactly: x ^ x cancels a replaced row's
+        hash).  Returns the per-bucket ADDED-minus-REPLACED dicts so
+        the caller's running totals stay meaningful."""
+        old = {int(r["bucket"]): r for r in
+               self.latest_lineage(snapshot_id)
+               .filter(F.col("bucket").isin(wave)).collect()}
+        agg: dict[int, dict] = {}
+
+        def acc(rows, sign):
+            for r in rows:
+                b = int(r["bucket"])
+                a = agg.setdefault(b, {
+                    "bucket": b, "docs": 0, "tokens": 0, "raw_bytes": 0,
+                    "comp_bytes": 0, "xxh": 0, "mix": {}})
+                for k in ("docs", "tokens", "raw_bytes", "comp_bytes"):
+                    a[k] += sign * int(r[k])
+                a["xxh"] ^= int(r["xxh"] or 0)
+                c = r["codec"]
+                a["mix"][c] = a["mix"].get(c, 0) + sign * int(r["docs"])
+
+        acc(repl, -1)
+        acc(added, +1)
+        now = time.time()
+        seq = self._next_commit_seq()
+        rows, out = [], []
+        for b in wave:
+            d = agg.get(b)
+            if d is None:
+                continue
+            o = old.get(b)
+            omix = json.loads(o["codec_mix"]) if o else {}
+            for c, n in d["mix"].items():
+                omix[c] = omix.get(c, 0) + n
+            omix = {c: n for c, n in omix.items() if n > 0}
+            rows.append((
+                snapshot_id, b, "committed",
+                (int(o["docs"]) if o else 0) + d["docs"],
+                (int(o["tokens"]) if o else 0) + d["tokens"],
+                (int(o["raw_bytes"]) if o else 0) + d["raw_bytes"],
+                (int(o["comp_bytes"]) if o else 0) + d["comp_bytes"],
+                json.dumps(omix, sort_keys=True),
+                (int(o["payload_xxh"]) if o else 0) ^ d["xxh"],
+                wall / max(len(wave), 1), now, seq))
+            out.append({k: d[k] for k in
+                        ("docs", "tokens", "raw_bytes", "comp_bytes")})
+        if rows:
+            (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
+             .coalesce(1).write.mode("append").parquet(self.lineage_dir))
+        return out
+
+    def compact(self, snapshot_id: str, buckets=None) -> PipelineResult:
+        """Fold delta files back into the base: rewrite each affected
+        bucket from its RESOLVED view (the one-time O(bucket) cost
+        delta appends deferred), drop the bucket's delta dirs, and
+        re-commit lineage from a full read-back — which also resets any
+        accumulated incremental-stat drift to ground truth.  Same
+        staged dynamic-partition-overwrite commit as the rewrite path;
+        crash-safe at every step because base ⊕ deltas resolve to the
+        same logical rows before AND after each transition."""
+        have = self._delta_buckets(snapshot_id)
+        if buckets is not None:
+            have = [b for b in have if b in set(buckets)]
+        nb = self.num_buckets
+        if not have:
+            return PipelineResult(snapshot_id, 0, nb, 0, 0, 0, 0)
+        totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
+        waves = [have[i:i + self.wave_buckets]
+                 for i in range(0, len(have), self.wave_buckets)]
+        stage_root = _join(self.output_dir, "compact_staging", snapshot_id)
+        for wi, wave in enumerate(waves):
+            t0 = time.perf_counter()
+            resolved = self._resolved(snapshot_id, wave)
+            if "row_xxh" in resolved.columns:
+                resolved = resolved.drop("row_xxh")
+            resolved = resolved.withColumn("row_xxh",
+                                           F.xxhash64("payload"))
+            stage = _join(stage_root, f"wave{wi}")
+            (resolved.write.mode("overwrite")
+             .partitionBy("snapshot_id", "bucket").parquet(stage))
+            staged_dirs = [
+                _join(stage, f"snapshot_id={snapshot_id}", f"bucket={b}")
+                for b in wave
+                if self.fs.exists(_join(stage, f"snapshot_id={snapshot_id}",
+                                        f"bucket={b}"))]
+            if staged_dirs:
+                (self.spark.read.option("basePath", stage)
+                 .parquet(*staged_dirs)
+                 .write.mode("overwrite")
+                 .option("partitionOverwriteMode", "dynamic")
+                 .partitionBy("snapshot_id", "bucket")
+                 .parquet(self.data_dir))
+            for b in wave:
+                self.fs.delete(
+                    _join(self.delta_dir, f"snapshot_id={snapshot_id}",
+                          f"bucket={b}"), recursive=True)
+            wall = time.perf_counter() - t0
+            for r in self._commit_wave(snapshot_id, wave, wall):
+                for k in totals:
+                    totals[k] += int(r[k])
+        if self.fs.exists(stage_root):
+            self.fs.delete(stage_root, recursive=True)
+        return PipelineResult(snapshot_id, len(have), nb - len(have),
+                              totals["docs"], totals["tokens"],
+                              totals["raw_bytes"], totals["comp_bytes"])
+
     def delete(self, ids: DataFrame, snapshot_id: str) -> PipelineResult:
         """Bucket-local deletion (the right-to-erasure operation):
         drop the given doc_ids from a committed snapshot by rewriting
@@ -464,6 +778,13 @@ class CompressionPipeline:
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
         affected = sorted(r["bucket"] for r in
                           salted.select("bucket").distinct().collect())
+        # merge-on-read: fold affected buckets' deltas into the base
+        # first so erasure rewrites the ONE physical copy (delta rows
+        # left behind would resurrect deleted documents at read time)
+        delta_b = sorted(set(self._delta_buckets(snapshot_id))
+                         & set(affected))
+        if delta_b:
+            self.compact(snapshot_id, delta_b)
         totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
         waves = [affected[i:i + self.wave_buckets]
                  for i in range(0, len(affected), self.wave_buckets)]
@@ -542,10 +863,12 @@ class CompressionPipeline:
         legacy dirs (plain string columns, no fsst_table.json) read
         unchanged — detected both by the table file's presence and by
         the columns' actual parquet types, so a v1 directory never hits
-        a FileNotFoundError or a spurious binary decode."""
-        df = self.spark.read.parquet(self.data_dir)
-        if snapshot_id is not None:
-            df = df.filter(F.col("snapshot_id") == snapshot_id)
+        a FileNotFoundError or a spurious binary decode.  The view is
+        the RESOLVED state: base rows superseded by merge-on-read
+        deltas are replaced by the latest delta rows."""
+        df = self._resolved(snapshot_id)
+        if "row_xxh" in df.columns:
+            df = df.drop("row_xxh")
         path = _join(self.params_dir, "fsst_table.json")
         enc_cols = tuple(
             c for c in ("doc_id", "source")
@@ -595,13 +918,15 @@ class CompressionPipeline:
             buckets = []
         paths = self._wave_paths(snapshot_id, buckets)
         params = self._load_params(snapshot_id)
-        if not paths:  # nothing stored in any target bucket
+        if not paths and not self._delta_paths(snapshot_id, buckets):
+            # nothing stored in any target bucket
             empty = self.spark.createDataFrame(
                 [], "doc_id string, tokens array<int>, n_tok int, "
                     "source string")
             return empty
-        enc = (self.spark.read.option("basePath", self.data_dir)
-               .parquet(*paths))
+        enc = self._resolved(snapshot_id, buckets)
+        if "row_xxh" in enc.columns:
+            enc = enc.drop("row_xxh")
         table = self._fsst_table()
         keys = id_df
         if table is not None and dict(enc.dtypes).get("doc_id") == "binary":
@@ -620,9 +945,12 @@ class CompressionPipeline:
         bucket's payload XOR-fold from the written table and compare to
         the checksum recorded at commit time.  Returns the number of
         buckets that mismatch or vanished (0 == intact) — the read-side
-        half of the north rule's per-partition metrics."""
-        enc = (self.spark.read.parquet(self.data_dir)
-               .filter(F.col("snapshot_id") == snapshot_id))
+        half of the north rule's per-partition metrics.  The audit runs
+        over the RESOLVED view and recomputes hashes from the payload
+        bytes themselves (a deep check — the persisted row_xxh column
+        is deliberately not trusted here), so it also validates the
+        incremental checksum math of delta commits."""
+        enc = self._resolved(snapshot_id)
         got = enc.groupBy("bucket").agg(
             F.expr("bit_xor(xxhash64(payload))").alias("xxh"))
         # latest commit per bucket: appends supersede earlier rows
