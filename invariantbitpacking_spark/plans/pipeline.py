@@ -152,25 +152,46 @@ class CompressionPipeline:
         self.fs.write_text_atomic(path, json.dumps(params.to_dict()))
         return params
 
-    def load_or_learn_fsst(self, toks: DataFrame):
-        """ONE global FSST symbol table per pipeline output (learned on
-        a driver-side sample of the doc_id/source columns, persisted as
-        hex): every snapshot's string columns encode against it, so any
-        read of the encoded table — including multi-snapshot reads —
-        stays decodable with a single stored table."""
-        path = _join(self.params_dir, "fsst_table.json")
-        if self.fs.exists(path):
+    def _fsst_path(self, snapshot_id: str | None) -> str | None:
+        """Resolve which persisted FSST table file a snapshot decodes
+        with: its OWN ``fsst_<snapshot>.json`` when present, else the
+        legacy shared ``fsst_table.json`` (pre-evolution outputs), else
+        None (v1 plain-string layout)."""
+        if snapshot_id is not None:
+            own = _join(self.params_dir, f"fsst_{snapshot_id}.json")
+            if self.fs.exists(own):
+                return own
+        legacy = _join(self.params_dir, "fsst_table.json")
+        return legacy if self.fs.exists(legacy) else None
+
+    def load_or_learn_fsst(self, toks: DataFrame,
+                           snapshot_id: str | None = None):
+        """PER-SNAPSHOT FSST symbol table (learned on a driver-side
+        sample of the doc_id/source columns, persisted as hex with a
+        ``table_id``): each new snapshot fits its own string
+        distribution instead of inheriting whatever corpus ran first —
+        a later snapshot with different doc_id shapes no longer
+        compresses worse forever.  Old snapshots keep decoding with
+        the table they were written under (:meth:`_fsst_path` resolves
+        per snapshot, falling back to the legacy shared file), so
+        evolution never breaks an existing read."""
+        path = self._fsst_path(snapshot_id)
+        if path is not None:
             meta = json.loads(self.fs.read_text(path))
             return fstr.table_from_hex(meta["hex"],
                                        meta.get("format_version", 2))
         table = fstr.learn_table_df(toks, ("doc_id", "source"))
+        own = _join(self.params_dir,
+                    f"fsst_{snapshot_id}.json" if snapshot_id is not None
+                    else "fsst_table.json")
         # format_version marks the string-column layout: v3 = canonical
         # FSST (1-8-byte symbols), v2 = legacy bigram FSST-lite (still
         # decodable), v1 = plain strings with no table file —
         # read_encoded detects all three
-        self.fs.write_text_atomic(path, json.dumps(
+        self.fs.write_text_atomic(own, json.dumps(
             {"hex": fstr.table_to_hex(table),
              "symbols": int(table.size),
+             "table_id": snapshot_id or "global",
              "format_version": 3}))
         return table
 
@@ -212,11 +233,11 @@ class CompressionPipeline:
                 f"at {path} — run() the snapshot first")
         return IbpParams.from_dict(json.loads(self.fs.read_text(path)))
 
-    def _fsst_table(self):
-        """The persisted global FSST table, or None for legacy v1
-        outputs with plain string columns."""
-        path = _join(self.params_dir, "fsst_table.json")
-        if not self.fs.exists(path):
+    def _fsst_table(self, snapshot_id: str | None = None):
+        """The FSST table a snapshot decodes with (per-snapshot file,
+        legacy shared file, or None for v1 plain-string outputs)."""
+        path = self._fsst_path(snapshot_id)
+        if path is None:
             return None
         meta = json.loads(self.fs.read_text(path))
         return fstr.table_from_hex(meta["hex"],
@@ -313,7 +334,7 @@ class CompressionPipeline:
             max_waves: int | None = None) -> PipelineResult:
         nb = self.num_buckets
         params = self.load_or_learn_params(toks, snapshot_id)
-        fsst_table = self.load_or_learn_fsst(toks)
+        fsst_table = self.load_or_learn_fsst(toks, snapshot_id)
         staging = self.stage_input(toks, snapshot_id)
         staged = (self.spark.read.parquet(staging)
                   .withColumn("snapshot_id", F.lit(snapshot_id)))
@@ -487,8 +508,7 @@ class CompressionPipeline:
         # Legacy v1 outputs carry PLAIN string columns (no table file);
         # appending binary-encoded strings next to them would fork the
         # schema, so only encode strings when the snapshot already does.
-        has_fsst = self.fs.exists(_join(self.params_dir, "fsst_table.json"))
-        fsst_table = self.load_or_learn_fsst(toks_delta) if has_fsst else None
+        fsst_table = self._fsst_table(snapshot_id)
         salted = (toks_delta.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
             .withColumn("snapshot_id", F.lit(snapshot_id)))
@@ -570,8 +590,11 @@ class CompressionPipeline:
         latest-wins upsert (see ``_resolved``)."""
         nb = self.num_buckets
         totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
-        waves = [affected[i:i + self.wave_buckets]
-                 for i in range(0, len(affected), self.wave_buckets)]
+        # ONE wave: waves exist to bound the memory of bucket REWRITES,
+        # but a delta wave's work is O(delta) regardless of how many
+        # buckets it salts into — splitting it would only multiply the
+        # fixed per-wave job overhead (scan, commit, lineage append)
+        waves = [affected] if affected else []
         for wave in waves:
             t0 = time.perf_counter()
             part = salted.filter(F.col("bucket").isin(wave))
@@ -598,21 +621,31 @@ class CompressionPipeline:
             except ValueError:
                 cur = None
             if cur is not None:
+                matched = cur.join(F.broadcast(keys),
+                                   ["snapshot_id", "doc_id"], "left_semi")
+
+                def _repl_agg(hx):
+                    return (matched.withColumn("_hx", hx)
+                            .groupBy("bucket", "codec").agg(
+                        F.count(F.lit(1)).alias("docs"),
+                        F.sum("n_tok").alias("tokens"),
+                        F.sum("raw_bytes").alias("raw_bytes"),
+                        F.sum("comp_bytes").alias("comp_bytes"),
+                        F.expr("bit_xor(_hx)").alias("xxh"),
+                        F.sum(F.when(F.col("_hx").isNull(), 1)
+                              .otherwise(0)).alias("nulls"))
+                        .collect())
+
+                # thin path: the persisted row hash keeps payload bytes
+                # UNREAD.  Only a legacy base (files written before
+                # row_xxh existed => nulls) forces the degraded pass
+                # that hashes payload for this wave.
                 if "row_xxh" in cur.columns:
-                    hx = F.coalesce(F.col("row_xxh"),
-                                    F.xxhash64("payload"))
+                    repl = _repl_agg(F.col("row_xxh"))
+                    if any(int(r["nulls"] or 0) > 0 for r in repl):
+                        repl = _repl_agg(F.xxhash64("payload"))
                 else:
-                    hx = F.xxhash64("payload")
-                matched = (cur.join(F.broadcast(keys),
-                                    ["snapshot_id", "doc_id"], "left_semi")
-                           .withColumn("_hx", hx))
-                repl = (matched.groupBy("bucket", "codec").agg(
-                    F.count(F.lit(1)).alias("docs"),
-                    F.sum("n_tok").alias("tokens"),
-                    F.sum("raw_bytes").alias("raw_bytes"),
-                    F.sum("comp_bytes").alias("comp_bytes"),
-                    F.expr("bit_xor(_hx)").alias("xxh"))
-                    .collect())
+                    repl = _repl_agg(F.xxhash64("payload"))
             (enc.write.mode("append")
              .partitionBy("snapshot_id", "bucket", "delta_seq")
              .parquet(self.delta_dir))
@@ -772,7 +805,7 @@ class CompressionPipeline:
                 f"delete: snapshot {snapshot_id!r} has no committed "
                 "buckets — nothing to delete from")
         nb = self.num_buckets
-        fsst_table = self._fsst_table()
+        fsst_table = self._fsst_table(snapshot_id)
         salted = ids.select(
             F.col("doc_id").cast("string").alias("doc_id")).withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
@@ -869,16 +902,43 @@ class CompressionPipeline:
         df = self._resolved(snapshot_id)
         if "row_xxh" in df.columns:
             df = df.drop("row_xxh")
-        path = _join(self.params_dir, "fsst_table.json")
         enc_cols = tuple(
             c for c in ("doc_id", "source")
             if dict(df.dtypes).get(c) == "binary")
-        if not enc_cols or not self.fs.exists(path):
+        if not enc_cols:
             return df
-        meta = json.loads(self.fs.read_text(path))
-        table = fstr.table_from_hex(meta["hex"],
-                                    meta.get("format_version", 2))
-        return fstr.decode_string_cols(df, table, enc_cols)
+        if snapshot_id is not None:
+            table = self._fsst_table(snapshot_id)
+            if table is None:
+                return df
+            return fstr.decode_string_cols(df, table, enc_cols)
+        # multi-snapshot read: snapshots may have EVOLVED onto their
+        # own tables; group them by resolved table file and decode each
+        # group with its table (distinct on the partition column is a
+        # listing-level scan, one row per snapshot)
+        snaps = [r[0] for r in df.select("snapshot_id")
+                 .distinct().collect()]
+        groups: dict = {}
+        for s in snaps:
+            groups.setdefault(self._fsst_path(s), []).append(s)
+        if len(groups) == 1:
+            path = next(iter(groups))
+            if path is None:
+                return df
+            return fstr.decode_string_cols(df, self._fsst_table(snaps[0]),
+                                           enc_cols)
+        parts = []
+        for path, ss in groups.items():
+            sub = df.filter(F.col("snapshot_id").isin(ss))
+            if path is None:
+                parts.append(sub)
+            else:
+                parts.append(fstr.decode_string_cols(
+                    sub, self._fsst_table(ss[0]), enc_cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def fetch(self, ids, snapshot_id: str, decode: bool = True) -> DataFrame:
         """Store-level point fetch — "give me these documents", the
@@ -927,7 +987,7 @@ class CompressionPipeline:
         enc = self._resolved(snapshot_id, buckets)
         if "row_xxh" in enc.columns:
             enc = enc.drop("row_xxh")
-        table = self._fsst_table()
+        table = self._fsst_table(snapshot_id)
         keys = id_df
         if table is not None and dict(enc.dtypes).get("doc_id") == "binary":
             keys = fstr.encode_string_cols(keys, table, ("doc_id",))

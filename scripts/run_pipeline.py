@@ -39,6 +39,13 @@ def main() -> None:
     ap.add_argument("--max-waves", type=int, default=None)
     ap.add_argument("--local-cores", type=int,
                     default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--append-strategy", default="delta",
+                    choices=("delta", "rewrite"),
+                    help="delta = O(delta) merge-on-read files; "
+                         "rewrite = fold into the bucket immediately")
+    ap.add_argument("--compact", action="store_true",
+                    help="fold any pending delta files into the base "
+                         "after the append")
     ap.add_argument("--append-rows", type=int, default=0,
                     help="after the run, upsert this many synthetic delta "
                          "docs into the snapshot (incremental-ingest drive)")
@@ -82,11 +89,18 @@ def main() -> None:
                  .withColumn("doc_id", F.concat(F.lit("delta-"),
                                                 F.col("doc_id"))))
         t1 = time.perf_counter()
-        ares = pipe.append(delta, args.snapshot)
+        ares = pipe.append(delta, args.snapshot,
+                           strategy=args.append_strategy)
         out["append_docs"] = args.append_rows
-        out["append_buckets_rewritten"] = ares.buckets_done
+        out["append_strategy"] = args.append_strategy
+        out["append_buckets_touched"] = ares.buckets_done
         out["append_wall_sec"] = round(time.perf_counter() - t1, 3)
         toks = toks.unionByName(delta)
+    if args.compact:
+        t2 = time.perf_counter()
+        cres = pipe.compact(args.snapshot)
+        out["compact_buckets"] = cres.buckets_done
+        out["compact_wall_sec"] = round(time.perf_counter() - t2, 3)
     if args.verify:
         params = pipe.load_or_learn_params(toks, args.snapshot)
         out["roundtrip_mismatches"] = pipe.verify_roundtrip(toks, params, args.snapshot)

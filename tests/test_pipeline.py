@@ -122,7 +122,7 @@ def test_global_fsst_table_persists_and_decodes(spark, tokens_df, outdir):
     pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
                                sample_fraction=None)
     pipe.run(tokens_df.limit(200), "snapF")
-    assert os.path.exists(os.path.join(pipe.params_dir, "fsst_table.json"))
+    assert os.path.exists(os.path.join(pipe.params_dir, "fsst_snapF.json"))
     # raw parquet holds binary doc_id/source (actually encoded)
     raw = spark.read.parquet(pipe.data_dir)
     assert dict(raw.dtypes)["doc_id"] == "binary"
@@ -207,7 +207,7 @@ def test_pipeline_with_file_scheme_uri(spark, tokens_df, tmp_path):
     assert not pipe.fs.exists(f"{out}/staging/snapF")
     # metadata files landed where the FS says they did
     assert pipe.fs.exists(f"{out}/params/snapF.json")
-    assert pipe.fs.exists(f"{out}/params/fsst_table.json")
+    assert pipe.fs.exists(f"{out}/params/fsst_snapF.json")
 
 
 TOK_SCHEMA = "doc_id string, tokens array<int>, n_tok int, source string"
@@ -531,3 +531,45 @@ def test_delete_compacts_pending_deltas_first(spark, tokens_df, outdir):
     assert enc.filter(F.col("doc_id") == "della-doc").count() == 0
     assert enc.count() == sub.count()
     assert pipe.verify_checksums("snapDC") == 0
+
+
+def test_fsst_table_evolves_per_snapshot(spark, tokens_df, outdir):
+    """Round-4 verdict item 8: a later snapshot with a different
+    string distribution learns its OWN table (and compresses like a
+    fresh fit) while the first snapshot keeps decoding with its own."""
+    import os
+
+    from invariantbitpacking_spark.codecs import fsst
+    from invariantbitpacking_spark.functions import strings as fstr
+
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    a = tokens_df.limit(150)
+    pipe.run(a, "snapA")
+    # disjoint distribution: doc_ids from a different alphabet entirely
+    b = spark.createDataFrame(
+        [(f"ZZQQXX::{i:05d}::WWYY", [i % 100 + 1] * 10, 10, "zweb")
+         for i in range(150)],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    pipe.run(b, "snapB")
+    assert os.path.exists(os.path.join(pipe.params_dir, "fsst_snapA.json"))
+    assert os.path.exists(os.path.join(pipe.params_dir, "fsst_snapB.json"))
+    # each snapshot decodes correctly with ITS table
+    pa_ = pipe.load_or_learn_params(a, "snapA")
+    pb_ = pipe.load_or_learn_params(b, "snapB")
+    assert pipe.verify_roundtrip(a, pa_, "snapA") == 0
+    assert pipe.verify_roundtrip(b, pb_, "snapB") == 0
+    # a combined read decodes both via per-snapshot tables
+    ids = {r["doc_id"] for r in pipe.read_encoded().select("doc_id").collect()}
+    want = ({r["doc_id"] for r in a.select("doc_id").collect()}
+            | {r["doc_id"] for r in b.select("doc_id").collect()})
+    assert ids == want
+    # snapB's own table fits its distribution at least as well as
+    # snapA's table would have (the regression the evolution fixes)
+    tbl_a = pipe._fsst_table("snapA")
+    tbl_b = pipe._fsst_table("snapB")
+    sample = [r["doc_id"] for r in b.select("doc_id").limit(100).collect()]
+    flat, lens = fsst.strings_to_flat(sample)
+    own, _ = fsst.encode_strings(flat, lens, tbl_b)
+    cross, _ = fsst.encode_strings(flat, lens, tbl_a)
+    assert own.size <= cross.size
