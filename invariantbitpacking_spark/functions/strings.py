@@ -87,15 +87,42 @@ def _schema_with(df: DataFrame, cols, new_type: str) -> str:
         for f in df.schema.fields)
 
 
+# Byte-mass sub-batching caps: Spark bounds Arrow batches by ROW count
+# only, so a batch of hot rows could push a single output column past
+# the 2 GiB int32-offset ceiling.  FSST encode expands a byte to at
+# most 2 (escape marker); decode expands a code to at most 8 symbol
+# bytes — the caps keep worst-case output columns far under the
+# ceiling, and _offsets32 stays as the final hard guard.
+_ENC_MASS_CAP = 512 << 20
+_DEC_MASS_CAP = 192 << 20
+
+
+def _string_mass_ranges(rb, names, cols, cap):
+    """Row ranges of an Arrow batch bounded by the target string/binary
+    columns' total byte mass — the string twin of
+    ``framing.split_by_token_mass``."""
+    from ..operators.ibp import _mass_ranges, binary_array_flat
+
+    mass = np.zeros(rb.num_rows, np.int64)
+    for c in cols:
+        _, _, lens = binary_array_flat(rb.column(names.index(c)))
+        mass += lens
+    return _mass_ranges(mass, cap)
+
+
 def encode_string_cols(df: DataFrame, table: np.ndarray,
-                       cols=("doc_id", "source")) -> DataFrame:
+                       cols=("doc_id", "source"),
+                       mass_cap: int | None = None) -> DataFrame:
     """Replace string columns with their FSST-encoded binary twins
     (same names).  One ``mapInArrow`` pass: each column's UTF-8 bytes
     are read straight from the Arrow values buffer (possibly
     non-contiguous after slicing — compacted with one gather) and the
     encoded bytes leave as a zero-copy BinaryArray; the table is
-    closure-borne."""
+    closure-borne.  Batches whose string byte mass exceeds
+    ``mass_cap`` (default ``_ENC_MASS_CAP``) degrade to multiple
+    sub-batches instead of tripping the int32-offset guard."""
     cols = tuple(c for c in cols if c in df.columns)
+    cap = _ENC_MASS_CAP if mass_cap is None else mass_cap
 
     def enc(batches):
         import pyarrow as pa
@@ -105,27 +132,32 @@ def encode_string_cols(df: DataFrame, table: np.ndarray,
 
         for rb in batches:
             names = rb.schema.names
-            arrays = list(rb.columns)
-            n = rb.num_rows
-            for c in cols:
-                i = names.index(c)
-                flat, starts, lens = binary_array_flat(arrays[i])
-                flat = gather_ranges(flat, starts, lens)  # compact
-                e, el = fsst.encode_strings(flat, lens, table)
-                e_off = _offsets32(el, n)
-                arrays[i] = pa.BinaryArray.from_buffers(
-                    pa.binary(), n,
-                    [None, pa.py_buffer(e_off), pa.py_buffer(e)])
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            for i0, i1 in _string_mass_ranges(rb, names, cols, cap):
+                sl = rb.slice(i0, i1 - i0)
+                arrays = list(sl.columns)
+                n = sl.num_rows
+                for c in cols:
+                    i = names.index(c)
+                    flat, starts, lens = binary_array_flat(arrays[i])
+                    flat = gather_ranges(flat, starts, lens)  # compact
+                    e, el = fsst.encode_strings(flat, lens, table)
+                    e_off = _offsets32(el, n)
+                    arrays[i] = pa.BinaryArray.from_buffers(
+                        pa.binary(), n,
+                        [None, pa.py_buffer(e_off), pa.py_buffer(e)])
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(enc, schema=_schema_with(df, cols, "binary"))
 
 
 def decode_string_cols(df: DataFrame, table: np.ndarray,
-                       cols=("doc_id", "source")) -> DataFrame:
+                       cols=("doc_id", "source"),
+                       mass_cap: int | None = None) -> DataFrame:
     """Inverse of :func:`encode_string_cols` (``mapInArrow``; decoded
-    UTF-8 leaves as a zero-copy StringArray)."""
+    UTF-8 leaves as a zero-copy StringArray).  Sub-batches by ENCODED
+    byte mass (default ``_DEC_MASS_CAP`` — decode expands up to 8x)."""
     cols = tuple(c for c in cols if c in df.columns)
+    cap = _DEC_MASS_CAP if mass_cap is None else mass_cap
 
     def dec(batches):
         import pyarrow as pa
@@ -135,16 +167,18 @@ def decode_string_cols(df: DataFrame, table: np.ndarray,
 
         for rb in batches:
             names = rb.schema.names
-            arrays = list(rb.columns)
-            n = rb.num_rows
-            for c in cols:
-                i = names.index(c)
-                flat, starts, lens = binary_array_flat(arrays[i])
-                flat = gather_ranges(flat, starts, lens)  # compact
-                d, dl = fsst.decode_strings(flat, lens, table)
-                d_off = _offsets32(dl, n)
-                arrays[i] = pa.StringArray.from_buffers(
-                    n, pa.py_buffer(d_off), pa.py_buffer(d))
-            yield pa.RecordBatch.from_arrays(arrays, names=names)
+            for i0, i1 in _string_mass_ranges(rb, names, cols, cap):
+                sl = rb.slice(i0, i1 - i0)
+                arrays = list(sl.columns)
+                n = sl.num_rows
+                for c in cols:
+                    i = names.index(c)
+                    flat, starts, lens = binary_array_flat(arrays[i])
+                    flat = gather_ranges(flat, starts, lens)  # compact
+                    d, dl = fsst.decode_strings(flat, lens, table)
+                    d_off = _offsets32(dl, n)
+                    arrays[i] = pa.StringArray.from_buffers(
+                        n, pa.py_buffer(d_off), pa.py_buffer(d))
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(dec, schema=_schema_with(df, cols, "string"))

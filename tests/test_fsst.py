@@ -132,3 +132,31 @@ def test_random_bytes_roundtrip_property():
     dec, dec_lens = fsst.decode_strings(enc, enc_lens, table)
     np.testing.assert_array_equal(dec, flat)
     np.testing.assert_array_equal(dec_lens, lens)
+
+
+def test_string_cols_forced_byte_mass_split(spark, tokens_df):
+    """Round-4 verdict item 6: a batch over the byte-mass cap must
+    degrade to multiple sub-batches with byte-identical output, not
+    trip the int32-offset guard (mirror of the token-path split test)."""
+    from pyspark.sql import functions as F
+
+    from invariantbitpacking_spark.functions import strings as fstr
+
+    sub = tokens_df.limit(200).coalesce(1)  # one fat Arrow batch
+    table = fstr.learn_table_df(sub, ("doc_id", "source"))
+    plain = {(r["doc_id"], r["source"]) for r in sub.collect()}
+
+    enc_norm = fstr.encode_string_cols(sub, table)
+    enc_split = fstr.encode_string_cols(sub, table, mass_cap=64)
+    a = {r["doc_id"]: bytes(r["source"]) for r in
+         enc_norm.select(F.hex("doc_id").alias("doc_id"), "source")
+         .collect()}
+    b = {r["doc_id"]: bytes(r["source"]) for r in
+         enc_split.select(F.hex("doc_id").alias("doc_id"), "source")
+         .collect()}
+    assert a == b  # byte-identical under forced splitting
+
+    dec = fstr.decode_string_cols(
+        fstr.encode_string_cols(sub, table, mass_cap=64),
+        table, mass_cap=64)
+    assert {(r["doc_id"], r["source"]) for r in dec.collect()} == plain
