@@ -859,6 +859,52 @@ def q_multimodal_featurize(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "decoded_w", "body_bytes", *h)
 
 
+def q_multimodal_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container round-trip (no media libraries): each document's
+    tokens become a 24-bit uncompressed BMP (16-wide grayscale triples,
+    padded rows, bottom-up order — the full format) and a PCM-16 WAV,
+    both BUILT as real files and PARSED BACK by the pure-numpy
+    parsers (multimodal.make_bmp24/make_wav_pcm16 ->
+    parse_container/decode_image/decode_audio).  The emitted stats come
+    from the PARSED pixels/samples, so the oracle — which recomputes
+    them straight from the token lists — fails if any header walk,
+    stride, row order, or sample decode is wrong."""
+    import numpy as np
+    import pandas as pd
+
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    toks = _tokens(spark, sf_dir)
+
+    def rt(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "img_w": [], "img_h": [], "px_sum": [],
+                   "n_samples": [], "samp_sum": [], "sample_rate": []}
+            for doc_id, arr in zip(pdf["doc_id"], pdf["tokens"]):
+                t = np.asarray(arr, np.int64)
+                h = t.size // 16
+                g = (t[:16 * h] % 256).astype(np.uint8)
+                px = np.repeat(g, 3).reshape(h, 16, 3)  # gray triples
+                bmp = mm.make_bmp24(16, h, px)
+                img, meta = mm.decode_image(bmp)
+                samples = ((t % 65536) - 32768).astype(np.int16)
+                wav = mm.make_wav_pcm16(16000, samples)
+                dec, sr = mm.decode_audio(wav)
+                out["doc_id"].append(doc_id)
+                out["img_w"].append(meta["w"])
+                out["img_h"].append(meta["h"])
+                out["px_sum"].append(int(img[:, :, 0].sum())
+                                     if img.size else 0)
+                out["n_samples"].append(int(dec.size))
+                out["samp_sum"].append(int(dec.astype(np.int64).sum()))
+                out["sample_rate"].append(int(sr))
+            yield pd.DataFrame(out)
+
+    return toks.select("doc_id", "tokens").mapInPandas(
+        rt, schema="doc_id string, img_w int, img_h int, px_sum long, "
+                   "n_samples int, samp_sum long, sample_rate int")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling over driver data: each document's text
     bytes become the body of a FAKE video container (w=4, h=2, up to 9
@@ -938,6 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "multimodal_featurize": q_multimodal_featurize,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_real": q_multimodal_real,
         "fsst_roundtrip": q_fsst_roundtrip,
     }
 
@@ -1911,6 +1958,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(fi AS INT) AS frame_idx,
                    substr(text, CAST(fi * 8 + 1 AS INT), 8) AS frame_str
             FROM k
+        """,
+        "multimodal_real": f"""
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              {_TOK} AS toks
+                       FROM documents)
+            SELECT doc_id,
+                   CAST(16 AS INT) AS img_w,
+                   CAST(len(toks) // 16 AS INT) AS img_h,
+                   CAST(coalesce(list_sum(list_transform(
+                        toks[1:16 * (len(toks) // 16)],
+                        t -> t % 256)), 0) AS BIGINT) AS px_sum,
+                   CAST(len(toks) AS INT) AS n_samples,
+                   CAST(coalesce(list_sum(list_transform(
+                        toks, t -> (t % 65536) - 32768)), 0)
+                        AS BIGINT) AS samp_sum,
+                   CAST(16000 AS INT) AS sample_rate
+            FROM t
         """,
         "lang_id": """
             WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -3,11 +3,11 @@
 A training-data pipeline at corpus scale carries image/audio/video next
 to text.  This module provides the Spark-side plumbing — schema,
 deterministic synthesis, Arrow-batched transform signatures, partition
-behavior — with the actual media decoding STUBBED: the sandbox has no
-image/audio libraries, so ``decode_image``/``decode_audio`` parse only
-our deterministic fake container header and raise
-``NotImplementedError`` for real formats.  Swapping the stub for
-Pillow/ffmpeg changes one function body, not the pipeline.
+behavior.  Decoding is REAL for every container parseable with pure
+numpy — uncompressed 24-bit BMP, binary PPM/PGM, and PCM WAV — plus
+the deterministic FAKE container; only codec-bound formats (PNG, JPEG,
+MP3, H.264...) raise ``NotImplementedError``, and swapping that stub
+for Pillow/ffmpeg changes one function body, not the pipeline.
 
 Fake container format (deterministic, self-describing):
   magic  4B  b"FAKE"
@@ -63,6 +63,171 @@ def generate_assets_df(spark: SparkSession, n: int = 300,
     return spark.createDataFrame(rows, ASSET_DDL)
 
 
+# -- real container builders (deterministic, library-free) ----------------
+
+
+def make_bmp24(w: int, h: int, pixels: np.ndarray) -> bytes:
+    """Uncompressed 24-bit BI_RGB BMP.  ``pixels`` is uint8 of size
+    h*w*3 in raster (top-down) order; rows are written bottom-up with
+    4-byte padding per the format."""
+    px = np.asarray(pixels, np.uint8).reshape(h, w * 3)
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), np.uint8)
+    body[:, :w * 3] = px[::-1]  # bottom-up row order
+    pix = body.tobytes()
+    off = 14 + 40
+    fh = b"BM" + struct.pack("<IHHI", off + len(pix), 0, 0, off)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix),
+                     2835, 2835, 0, 0)
+    return fh + ih + pix
+
+
+def make_pgm(w: int, h: int, gray: np.ndarray) -> bytes:
+    """Binary PGM (P5), maxval 255."""
+    return b"P5\n%d %d\n255\n" % (w, h) + \
+        np.asarray(gray, np.uint8).reshape(h * w).tobytes()
+
+
+def make_ppm(w: int, h: int, rgb: np.ndarray) -> bytes:
+    """Binary PPM (P6), maxval 255."""
+    return b"P6\n%d %d\n255\n" % (w, h) + \
+        np.asarray(rgb, np.uint8).reshape(h * w * 3).tobytes()
+
+
+def make_wav_pcm16(sample_rate: int, samples: np.ndarray,
+                   channels: int = 1) -> bytes:
+    """Canonical PCM WAV, 16-bit little-endian."""
+    data = np.asarray(samples, "<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate,
+                      channels * 2, 16)
+    return (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+# -- real container parsers ------------------------------------------------
+
+
+def _parse_pnm(raw: bytes):
+    """P5/P6 header: ASCII tokens w, h, maxval (comments allowed),
+    single whitespace byte, then the binary raster."""
+    toks, i, n = [], 2, len(raw)
+    while len(toks) < 3:
+        while i < n and raw[i:i + 1].isspace():
+            i += 1
+        if raw[i:i + 1] == b"#":  # comment to end of line
+            while i < n and raw[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not raw[j:j + 1].isspace():
+            j += 1
+        toks.append(int(raw[i:j]))
+        i = j
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = toks
+    if maxval > 255:
+        raise NotImplementedError("16-bit PNM rasters are not supported")
+    return w, h, i
+
+
+def parse_container(payload) -> dict:
+    """Parse ONE asset container into
+    ``{fmt, kind, w, h, frames, sample_rate, body}`` where ``body`` is
+    the decoded payload bytes (uint8; image pixels in top-down raster
+    order WITHOUT row padding, audio PCM bytes, FAKE body verbatim).
+    Pure numpy — no media libraries.  Reference analog: the mmap
+    loader's header walk (src/ibp_api.cu:51-121) generalized to
+    self-describing containers."""
+    raw = bytes(payload)
+    b = np.frombuffer(raw, np.uint8)
+    if raw[:4] == MAGIC:
+        kind = raw[4]
+        w = h = sr = 0
+        if kind in (0, 2):
+            w, h, fr = struct.unpack_from("<HHH", raw, 5)
+        else:
+            sr, fr = struct.unpack_from("<IH", raw, 5)
+        return {"fmt": "fake", "kind": ("image", "audio", "video")[kind],
+                "w": w, "h": h, "frames": fr, "sample_rate": sr,
+                "body": b[11:]}
+    if raw[:2] == b"BM":
+        px_off, = struct.unpack_from("<I", raw, 10)
+        hdr_sz, w, h_signed = struct.unpack_from("<Iii", raw, 14)
+        planes, bpp = struct.unpack_from("<HH", raw, 26)
+        comp, = struct.unpack_from("<I", raw, 30)
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"BMP bpp={bpp} compression={comp}: only uncompressed "
+                "24-bit BI_RGB is parseable without codec libraries")
+        h = abs(h_signed)
+        stride = (w * 3 + 3) & ~3
+        rows = b[px_off:px_off + stride * h].reshape(h, stride)[:, :w * 3]
+        if h_signed > 0:  # bottom-up file order -> top-down raster
+            rows = rows[::-1]
+        return {"fmt": "bmp", "kind": "image", "w": w, "h": h,
+                "frames": 1, "sample_rate": 0,
+                "body": np.ascontiguousarray(rows).reshape(-1)}
+    if raw[:2] in (b"P5", b"P6"):
+        w, h, off = _parse_pnm(raw)
+        ch = 3 if raw[:2] == b"P6" else 1
+        return {"fmt": "ppm" if ch == 3 else "pgm", "kind": "image",
+                "w": w, "h": h, "frames": 1, "sample_rate": 0,
+                "body": b[off:off + w * h * ch]}
+    if raw[:4] == b"RIFF" and raw[8:12] == b"WAVE":
+        i, sr, bits, channels, body = 12, 0, 0, 1, None
+        while i + 8 <= len(raw):
+            cid = raw[i:i + 4]
+            csz, = struct.unpack_from("<I", raw, i + 4)
+            if cid == b"fmt ":
+                audio_fmt, channels, sr = struct.unpack_from(
+                    "<HHI", raw, i + 8)
+                bits, = struct.unpack_from("<H", raw, i + 8 + 14)
+                if audio_fmt != 1:
+                    raise NotImplementedError(
+                        f"WAV audio_format={audio_fmt}: only PCM is "
+                        "parseable without codec libraries")
+            elif cid == b"data":
+                body = b[i + 8:i + 8 + csz]
+            i += 8 + csz + (csz & 1)  # chunks are 2-byte aligned
+        if body is None or not sr:
+            raise ValueError("WAV missing fmt/data chunk")
+        return {"fmt": "wav", "kind": "audio", "w": 0, "h": 0,
+                "frames": 1, "sample_rate": sr, "body": body,
+                "bits": bits, "channels": channels}
+    raise NotImplementedError(
+        "container not parseable without codec libraries (supported: "
+        "FAKE, uncompressed 24-bit BMP, binary PPM/PGM, PCM WAV)")
+
+
+def decode_image(payload) -> tuple:
+    """Decode one image container -> (pixel array, meta dict).  BMP and
+    PPM return (h, w, 3); PGM and FAKE images return (h, w)."""
+    d = parse_container(payload)
+    if d["kind"] != "image":
+        raise ValueError(f"not an image container: {d['fmt']}")
+    ch = 3 if d["fmt"] in ("bmp", "ppm") else 1
+    shape = (d["h"], d["w"], 3) if ch == 3 else (d["h"], d["w"])
+    px = np.asarray(d["body"], np.uint8).reshape(shape)
+    if d["fmt"] == "bmp":  # file order is BGR
+        px = px[:, :, ::-1]
+    meta = {k: d[k] for k in ("fmt", "w", "h")}
+    return px, meta
+
+
+def decode_audio(payload) -> tuple:
+    """Decode one audio container -> (samples, sample_rate).  WAV PCM16
+    returns int16 samples; WAV PCM8 / FAKE return uint8."""
+    d = parse_container(payload)
+    if d["kind"] != "audio":
+        raise ValueError(f"not an audio container: {d['fmt']}")
+    body = np.asarray(d["body"], np.uint8)
+    if d["fmt"] == "wav" and d.get("bits", 8) == 16:
+        return body.view("<i2").copy(), d["sample_rate"]
+    return body, d["sample_rate"]
+
+
 def _parse_headers_flat(flat, starts, sizes):
     """Vectorized header parse for one Arrow batch of FAKE containers:
     fixed-offset arithmetic over the shared payload buffer — no
@@ -75,8 +240,9 @@ def _parse_headers_flat(flat, starts, sizes):
     if n and not (flat[starts[:, None] + np.arange(4)] ==
                   magic[None, :]).all():
         raise NotImplementedError(
-            "real media decoding is stubbed in this environment; "
-            "only the deterministic FAKE container is parseable")
+            "batch contains a non-FAKE container on the vectorized "
+            "FAKE fastpath; real formats (BMP/PPM/PGM/WAV) go through "
+            "parse_container / decode_and_featurize's mixed path")
     kind = flat[starts + 4].astype(np.int64) if n else np.zeros(0, np.int64)
 
     def u16(off):
@@ -112,11 +278,36 @@ def decode_and_featurize(assets: DataFrame, feat_dim: int = 16) -> DataFrame:
             n = rb.num_rows
             flat, starts, sizes = binary_array_flat(
                 rb.column(names.index("payload")))
-            kind, w, h, fr, sr = _parse_headers_flat(flat, starts, sizes)
-            body_len = sizes - 11
+            magic = np.frombuffer(MAGIC, np.uint8)
+            is_fake = ((flat[starts[:, None] + np.arange(4)] ==
+                        magic[None, :]).all(axis=1)
+                       if n else np.zeros(0, bool))
+            if n and is_fake.all():
+                # pure-FAKE fastpath: fully vectorized header parse +
+                # one gather for every body
+                _, w, h, fr, sr = _parse_headers_flat(flat, starts,
+                                                      sizes)
+                body_len = sizes - 11
+                body = gather_ranges(flat, starts + 11, body_len)
+            else:
+                # mixed containers: the real-format header walk is
+                # per-asset by nature (variable-length headers), but
+                # each body stays a numpy view and the histogram below
+                # is still ONE bincount over the batch
+                w = np.zeros(n, np.int64)
+                h = np.zeros(n, np.int64)
+                parts = []
+                for i in range(n):
+                    d = parse_container(
+                        flat[starts[i]:starts[i] + sizes[i]].tobytes())
+                    w[i], h[i] = d["w"], d["h"]
+                    parts.append(np.asarray(d["body"], np.uint8))
+                body_len = np.fromiter((p.size for p in parts),
+                                       np.int64, count=n)
+                body = (np.concatenate(parts) if parts
+                        else np.zeros(0, np.uint8))
             # all bodies' histograms in ONE bincount over a combined
             # (asset, byte % feat_dim) key — no per-asset Python
-            body = gather_ranges(flat, starts + 11, body_len)
             asset_of = np.repeat(np.arange(n), body_len)
             key = asset_of * feat_dim + (body % feat_dim)
             hist = np.bincount(key, minlength=n * feat_dim).reshape(

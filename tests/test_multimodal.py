@@ -38,3 +38,93 @@ def test_real_format_is_stubbed(spark):
     with pytest.raises(Exception) as ei:
         mm.decode_and_featurize(df).collect()
     assert "NotImplementedError" in str(ei.value) or "stubbed" in str(ei.value)
+
+
+def test_real_bmp_roundtrip_with_padding():
+    """24-bit BMP: padded strides, bottom-up row order, BGR channel
+    order all round-trip through the pure-numpy parser."""
+    import numpy as np
+
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(5)
+    for w, h in [(16, 4), (7, 9), (1, 1), (5, 3), (3, 0)]:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        bmp = mm.make_bmp24(w, h, px[:, :, ::-1])  # file order is BGR
+        img, meta = mm.decode_image(bmp)
+        assert meta["fmt"] == "bmp" and img.shape == (h, w, 3)
+        assert np.array_equal(img, px)
+
+
+def test_real_pnm_roundtrip_and_comments():
+    import numpy as np
+
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(6)
+    rgb = rng.integers(0, 256, (4, 6, 3)).astype(np.uint8)
+    img, meta = mm.decode_image(mm.make_ppm(6, 4, rgb))
+    assert meta["fmt"] == "ppm" and np.array_equal(img, rgb)
+    gray = rng.integers(0, 256, (5, 7)).astype(np.uint8)
+    img, meta = mm.decode_image(mm.make_pgm(7, 5, gray))
+    assert meta["fmt"] == "pgm" and np.array_equal(img, gray)
+    raw = b"P5\n# comment\n3 2\n255\n" + bytes(range(6))
+    img, _ = mm.decode_image(raw)
+    assert img.reshape(-1).tolist() == list(range(6))
+
+
+def test_real_wav_pcm16_roundtrip_and_chunk_walk():
+    import struct
+
+    import numpy as np
+
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    s = rng.integers(-32768, 32767, 777).astype(np.int16)
+    wav = mm.make_wav_pcm16(22050, s)
+    got, sr = mm.decode_audio(wav)
+    assert sr == 22050 and np.array_equal(got, s)
+    # an extra chunk before data must be skipped by the walk
+    extra = b"LIST" + struct.pack("<I", 5) + b"xxxxx" + b"\x00"  # padded
+    wav2 = wav[:12] + extra + wav[12:]
+    got2, sr2 = mm.decode_audio(wav2)
+    assert sr2 == 22050 and np.array_equal(got2, s)
+
+
+def test_codec_bound_formats_still_raise():
+    import pytest as _pytest
+
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    with _pytest.raises(NotImplementedError, match="codec"):
+        mm.parse_container(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with _pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_image(b"BM" + b"\x00" * 60)  # bpp 0 => not BI_RGB 24
+
+
+def test_featurize_mixed_real_and_fake_containers(spark):
+    """decode_and_featurize must handle a batch mixing FAKE, BMP and
+    WAV containers: per-asset dims from the real headers, histogram
+    over decoded bodies."""
+    import numpy as np
+
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(8)
+    px = rng.integers(0, 256, (4, 5, 3)).astype(np.uint8)
+    bmp = mm.make_bmp24(5, 4, px)
+    wav = mm.make_wav_pcm16(8000, rng.integers(-100, 100, 50).astype(np.int16))
+    fake, w, h, fr, sr = mm.make_fake_asset(rng, "image")
+    rows = [("a-bmp", "image", bytearray(bmp), 5, 4, 1, 0),
+            ("a-wav", "audio", bytearray(wav), 0, 0, 1, 8000),
+            ("a-fake", "image", bytearray(fake), w, h, fr, sr)]
+    assets = spark.createDataFrame(rows, mm.ASSET_DDL).coalesce(1)
+    out = {r["asset_id"]: r for r in
+           mm.decode_and_featurize(assets, feat_dim=8).collect()}
+    assert out["a-bmp"]["decoded_w"] == 5
+    assert out["a-bmp"]["decoded_h"] == 4
+    assert out["a-bmp"]["body_bytes"] == 5 * 4 * 3  # no row padding
+    assert out["a-wav"]["body_bytes"] == 100  # 50 samples x 2 bytes
+    assert out["a-fake"]["decoded_w"] == w
+    assert abs(sum(out["a-bmp"]["features"]) - 1.0) < 1e-5
