@@ -81,6 +81,10 @@ class HadoopFS:
     def delete(self, p: str, recursive: bool = True) -> bool:
         return bool(self._fs.delete(self._path(p), recursive))
 
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._path(src), self._path(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
     def listdir(self, p: str) -> list[str]:
         """Child names (not paths) of a directory; [] if absent."""
         if not self.exists(p):

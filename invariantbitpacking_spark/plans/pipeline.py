@@ -733,6 +733,43 @@ class CompressionPipeline:
              .coalesce(1).write.mode("append").parquet(self.lineage_dir))
         return out
 
+    def compact_lineage(self) -> int:
+        """Fold the lineage's one-file-per-commit history into a single
+        file of LATEST rows.  Every wave/delta commit appends one small
+        parquet file, so a long-lived pipeline (streaming upserts
+        especially) accumulates files and every lineage read pays a
+        growing listing.  Readers only ever consume the newest row per
+        (snapshot, bucket) — :meth:`latest_lineage` — so compaction
+        keeps exactly those rows; ``commit_seq`` is preserved, so
+        monotonicity continues across the compaction.  The swap is
+        write-to-tmp-dir + two renames (the same non-atomic-rename
+        window as every metadata write; run it as maintenance, not
+        concurrently with commits).  Returns rows kept."""
+        from pyspark.sql import Window
+
+        lin = self.lineage()
+        rows = lin.count()
+        if rows == 0:
+            return 0
+        w = (Window.partitionBy("snapshot_id", "bucket")
+             .orderBy(F.desc("commit_seq"), F.desc("committed_at")))
+        latest = (lin.withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1).drop("_rn"))
+        tmp = self.lineage_dir + ".compact"
+        old = self.lineage_dir + ".old"
+        if self.fs.exists(tmp):
+            self.fs.delete(tmp, recursive=True)
+        (latest.select(*[f.split(" ")[0] for f in
+                         LINEAGE_SCHEMA.split(", ")])
+         .coalesce(1).write.mode("overwrite").parquet(tmp))
+        kept = self.spark.read.parquet(tmp).count()
+        if self.fs.exists(old):
+            self.fs.delete(old, recursive=True)
+        self.fs.rename(self.lineage_dir, old)
+        self.fs.rename(tmp, self.lineage_dir)
+        self.fs.delete(old, recursive=True)
+        return int(kept)
+
     def compact(self, snapshot_id: str, buckets=None) -> PipelineResult:
         """Fold delta files back into the base: rewrite each affected
         bucket from its RESOLVED view (the one-time O(bucket) cost

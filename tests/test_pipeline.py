@@ -573,3 +573,44 @@ def test_fsst_table_evolves_per_snapshot(spark, tokens_df, outdir):
     own, _ = fsst.encode_strings(flat, lens, tbl_b)
     cross, _ = fsst.encode_strings(flat, lens, tbl_a)
     assert own.size <= cross.size
+
+
+def test_compact_lineage_folds_history(spark, tokens_df, outdir):
+    """Lineage accumulates one file per commit; compaction keeps only
+    each bucket's latest row, preserving latest_lineage semantics and
+    commit_seq monotonicity."""
+    import glob
+    import os
+
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=2,
+                               sample_fraction=None)
+    sub = tokens_df.limit(100)
+    pipe.run(sub, "snapL")  # 2 waves = 2 commit files
+    for i in range(3):      # 3 more delta commits
+        d = spark.createDataFrame(
+            [(f"lin-doc-{i}", [1, 2, i], 3, "web")],
+            "doc_id string, tokens array<int>, n_tok int, source string")
+        pipe.append(d, "snapL")
+    files_before = glob.glob(os.path.join(outdir, "lineage", "*.parquet"))
+    assert len(files_before) >= 4
+    before = {(r["snapshot_id"], r["bucket"]): (r["docs"], r["payload_xxh"],
+                                                r["commit_seq"])
+              for r in pipe.latest_lineage("snapL").collect()}
+    max_seq = pipe._next_commit_seq()
+    kept = pipe.compact_lineage()
+    assert kept == len(before)
+    files_after = glob.glob(os.path.join(outdir, "lineage", "*.parquet"))
+    assert len(files_after) == 1
+    after = {(r["snapshot_id"], r["bucket"]): (r["docs"], r["payload_xxh"],
+                                               r["commit_seq"])
+             for r in pipe.latest_lineage("snapL").collect()}
+    assert after == before
+    assert pipe.verify_checksums("snapL") == 0
+    # the sequence continues monotonically after compaction
+    assert pipe._next_commit_seq() == max_seq
+    # and further commits still work
+    d = spark.createDataFrame(
+        [("lin-doc-post", [9], 1, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    pipe.append(d, "snapL")
+    assert pipe.verify_checksums("snapL") == 0
