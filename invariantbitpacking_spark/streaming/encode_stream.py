@@ -98,7 +98,8 @@ def run_incremental_decode(spark: SparkSession, input_path: str,
 def start_ingest_stream(spark: SparkSession, input_path: str,
                         pipe, snapshot_id: str, checkpoint_path: str,
                         available_now: bool = True,
-                        max_files_per_trigger: int | None = None
+                        max_files_per_trigger: int | None = None,
+                        compact_every: int | None = None
                         ) -> StreamingQuery:
     """Streaming ingest into a LIVING pipeline snapshot: each
     micro-batch of newly-landed token documents upserts bucket-locally
@@ -115,16 +116,29 @@ def start_ingest_stream(spark: SparkSession, input_path: str,
     must already have committed buckets (run the initial corpus through
     ``pipe.run`` first); params and the FSST table are the snapshot's
     persisted ones, so streamed documents encode exactly as the batch
-    path would."""
+    path would.
+
+    Each micro-batch lands as O(delta) merge-on-read delta files, so
+    trickle ingest never pays bucket rewrites — but the files
+    accumulate.  ``compact_every=N`` folds deltas into the base (and
+    compacts the lineage history) after every N non-empty batches, the
+    maintenance cadence a long-lived stream needs; compaction is
+    crash-safe and read-transparent, so delivery semantics are
+    unchanged."""
     reader = (spark.readStream.schema(TOKENS_DDL)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               if max_files_per_trigger else
               spark.readStream.schema(TOKENS_DDL))
     stream = reader.parquet(input_path)
+    seen = {"batches": 0}
 
     def _sink(batch_df, _batch_id):
         if not batch_df.isEmpty():
             pipe.append(batch_df, snapshot_id, mode="upsert")
+            seen["batches"] += 1
+            if compact_every and seen["batches"] % compact_every == 0:
+                pipe.compact(snapshot_id)
+                pipe.compact_lineage()
 
     writer = (stream.writeStream.foreachBatch(_sink)
               .option("checkpointLocation", checkpoint_path))

@@ -151,3 +151,51 @@ def test_fsst_small_alphabet_long_symbols(nalpha, seed):
     if lens.sum() >= 400:
         # repetitive corpora must actually compress
         assert enc.size < lens.sum()
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=24),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_bmp24_roundtrip_property(w, h, seed):
+    """Arbitrary dims (every stride-padding class) round-trip through
+    the real BMP builder + parser bit-identically."""
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    img, meta = mm.decode_image(mm.make_bmp24(w, h, px[:, :, ::-1]))
+    assert (meta["w"], meta["h"]) == (w, h)
+    np.testing.assert_array_equal(img, px)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=3000),
+       st.sampled_from([8000, 16000, 22050, 44100]),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_wav_pcm16_roundtrip_property(n, sr, seed):
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, n).astype(np.int16)
+    got, got_sr = mm.decode_audio(mm.make_wav_pcm16(sr, s))
+    assert got_sr == sr
+    np.testing.assert_array_equal(got, s)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=50),
+       st.integers(min_value=1, max_value=50),
+       st.booleans(),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_pnm_roundtrip_property(w, h, color, seed):
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    if color:
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        img, _ = mm.decode_image(mm.make_ppm(w, h, px))
+    else:
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        img, _ = mm.decode_image(mm.make_pgm(w, h, px))
+    np.testing.assert_array_equal(img, px)

@@ -118,3 +118,34 @@ def test_streaming_ingest_into_pipeline_snapshot(spark, tmp_path, tokens_df):
     final = (tokens_df.unionByName(d1.filter("doc_id != 's-000'"))
              .unionByName(d2))
     assert pipe.verify_roundtrip(final, params, "live") == 0
+
+
+def test_streaming_ingest_with_auto_compaction(spark, tmp_path, tokens_df):
+    """compact_every folds delta files into the base (and the lineage
+    history) on cadence, leaving a delta-free snapshot with green
+    audits after the stream drains."""
+    from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+    from invariantbitpacking_spark.streaming.encode_stream import (
+        start_ingest_stream)
+
+    out = str(tmp_path / "pipe")
+    pipe = CompressionPipeline(spark, out, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(80)
+    pipe.run(sub, "live")
+    inbox = str(tmp_path / "inbox")
+    ckpt = str(tmp_path / "ckpt")
+    d = spark.createDataFrame(
+        [(f"ac-{i:03d}", list(range(i, i + 20)), 20, "stream")
+         for i in range(6)],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    d.write.mode("append").parquet(inbox)
+    q = start_ingest_stream(spark, inbox, pipe, "live", ckpt,
+                            compact_every=1)
+    q.awaitTermination()
+    # the availableNow drain ended with a compaction: no delta dirs left
+    assert pipe._delta_buckets("live") == []
+    assert pipe.read_encoded("live").count() == sub.count() + 6
+    assert pipe.verify_checksums("live") == 0
+    params = pipe.load_or_learn_params(sub, "live")
+    assert pipe.verify_roundtrip(sub.unionByName(d), params, "live") == 0
