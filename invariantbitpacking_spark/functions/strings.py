@@ -67,6 +67,18 @@ def learn_table_df(df: DataFrame, cols=("doc_id", "source"),
     return fsst.build_table(flat, sample_lens=lens)
 
 
+def encode_id_literals(ids, table) -> list[bytes]:
+    """FSST-encode a small list of id strings DRIVER-SIDE (same
+    deterministic encoding the executors apply), returning the encoded
+    bytes per id — the literal values a pushed-down ``IN`` predicate
+    needs to match the stored binary doc_id column."""
+    flat, lens = fsst.strings_to_flat([str(i) for i in ids])
+    e, el = fsst.encode_strings(flat, lens, table)
+    off = np.cumsum(el) - el
+    return [e[int(o):int(o) + int(n)].tobytes()
+            for o, n in zip(off, el)]
+
+
 def _offsets32(byte_lens: np.ndarray, n: int) -> np.ndarray:
     """int32 Arrow offset buffer from per-row byte lengths, guarded:
     a batch whose total bytes exceed INT32_MAX would silently wrap the

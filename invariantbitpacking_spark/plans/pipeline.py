@@ -360,6 +360,11 @@ class CompressionPipeline:
             # recompute bucket checksums from THIN columns (no payload
             # read) — see _append_delta
             enc = enc.withColumn("row_xxh", F.xxhash64("payload"))
+            # doc_id-clustered row groups: a local sort (no shuffle)
+            # gives each parquet row group a tight doc_id min/max, so
+            # fetch()'s pushed IN filter can SKIP row groups, not just
+            # bucket dirs
+            enc = enc.sortWithinPartitions("bucket", "doc_id")
             # Idempotent wave commit: dynamic partition overwrite replaces
             # exactly the (snapshot_id, bucket) dirs present in this wave's
             # output, so a wave retried after a crash between the data
@@ -551,7 +556,9 @@ class CompressionPipeline:
                 combined = existing.select(*enc.columns).unionByName(enc)
             else:
                 combined = enc
-            combined = combined.withColumn("row_xxh", F.xxhash64("payload"))
+            combined = (combined.withColumn("row_xxh",
+                                            F.xxhash64("payload"))
+                        .sortWithinPartitions("bucket", "doc_id"))
             stage = _join(stage_root, f"wave{wi}")
             (combined.write.mode("overwrite")
              .partitionBy("snapshot_id", "bucket").parquet(stage))
@@ -794,8 +801,9 @@ class CompressionPipeline:
             resolved = self._resolved(snapshot_id, wave)
             if "row_xxh" in resolved.columns:
                 resolved = resolved.drop("row_xxh")
-            resolved = resolved.withColumn("row_xxh",
-                                           F.xxhash64("payload"))
+            resolved = (resolved.withColumn("row_xxh",
+                                            F.xxhash64("payload"))
+                        .sortWithinPartitions("bucket", "doc_id"))
             stage = _join(stage_root, f"wave{wi}")
             (resolved.write.mode("overwrite")
              .partitionBy("snapshot_id", "bucket").parquet(stage))
@@ -1025,10 +1033,23 @@ class CompressionPipeline:
         if "row_xxh" in enc.columns:
             enc = enc.drop("row_xxh")
         table = self._fsst_table(snapshot_id)
-        keys = id_df
-        if table is not None and dict(enc.dtypes).get("doc_id") == "binary":
-            keys = fstr.encode_string_cols(keys, table, ("doc_id",))
-        hits = enc.join(F.broadcast(keys), "doc_id", "left_semi")
+        is_binary = dict(enc.dtypes).get("doc_id") == "binary"
+        if len(ids) <= 1024:
+            # Literal IN predicate instead of a join: it reaches the
+            # parquet scan as a PushedFilter, so the doc_id-CLUSTERED
+            # row groups the write path lays down are SKIPPED by their
+            # min/max stats — a broadcast join can never prune below
+            # the file level.  Keys are FSST-encoded driver-side (the
+            # encoding is deterministic, so literal byte equality IS id
+            # equality).
+            key_vals = (fstr.encode_id_literals(ids, table)
+                        if is_binary and table is not None else ids)
+            hits = enc.filter(F.col("doc_id").isin(key_vals))
+        else:
+            keys = id_df
+            if table is not None and is_binary:
+                keys = fstr.encode_string_cols(keys, table, ("doc_id",))
+            hits = enc.join(F.broadcast(keys), "doc_id", "left_semi")
         enc_cols = tuple(c for c in ("doc_id", "source")
                          if dict(hits.dtypes).get(c) == "binary")
         if table is not None and enc_cols:

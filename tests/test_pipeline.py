@@ -614,3 +614,21 @@ def test_compact_lineage_folds_history(spark, tokens_df, outdir):
         "doc_id string, tokens array<int>, n_tok int, source string")
     pipe.append(d, "snapL")
     assert pipe.verify_checksums("snapL") == 0
+
+
+def test_fetch_pushes_in_filter_to_scan(spark, tokens_df, outdir):
+    """A small id list must reach the parquet scan as a pushed IN
+    predicate on the encoded doc_id bytes (row-group skipping), not
+    only as a join."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(100)
+    pipe.run(sub, "snapPF")
+    ids = [r["doc_id"] for r in
+           sub.select("doc_id").orderBy("doc_id").limit(4).collect()]
+    df = pipe.fetch(ids, "snapPF", decode=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(doc_id" in plan
+    got = {r["doc_id"] for r in pipe.fetch(ids, "snapPF")
+           .select("doc_id").collect()}
+    assert got == set(ids)
