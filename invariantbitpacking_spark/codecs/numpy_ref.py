@@ -166,11 +166,28 @@ def comp_sizes_matrix(block: np.ndarray, mask: np.ndarray, bitval: np.ndarray) -
 def count_bits(block: np.ndarray) -> np.ndarray:
     """[v x W] per-(column, bit) set counts (count_bit_kernel,
     ibp_preproc_kernels.cuh:8-31).  Bit index is LSB-first (bit 0 = LSB)
-    to match ``1ull << bit`` in the kernel."""
+    to match ``1ull << bit`` in the kernel.
+
+    Byte-LUT bincount instead of unpackbits: one bincount over
+    ``(byte_position * 256 + byte_value)`` keys (the bin table is
+    L2-resident) and a [256 x 8] bit-table matmul — ~1/3 of the memory
+    traffic of materializing the [n, v, W] uint8 bit tensor, ~2x
+    wall on the learn pass.  Little-endian byte k of an element holds
+    its bits k*8..k*8+7, so the per-byte LSB-first columns concatenate
+    directly into the element-wide LSB-first layout."""
     block_u = _as_unsigned(np.ascontiguousarray(block))
-    # _bits_msb gives MSB-first; reverse to LSB-first indexing.
-    bits = _bits_msb(block_u)[..., ::-1]
-    return bits.sum(axis=0, dtype=np.int64)
+    n, v = block_u.shape
+    w = block_u.dtype.itemsize
+    if n == 0:
+        return np.zeros((v, w * 8), np.int64)
+    le = block_u.astype(block_u.dtype.newbyteorder("<"), copy=False)
+    u8 = np.ascontiguousarray(le).view(np.uint8).reshape(n, v * w)
+    nb = v * w
+    keys = (np.arange(nb, dtype=np.int32) * 256)[None, :] + u8
+    bins = np.bincount(keys.reshape(-1), minlength=nb * 256).reshape(nb, 256)
+    bit_tab = ((np.arange(256)[:, None] >> np.arange(8)[None, :]) & 1
+               ).astype(np.int64)
+    return (bins @ bit_tab).reshape(v, w * 8)
 
 
 def create_mask(bit_count: np.ndarray, num_vecs, threshold: float):
