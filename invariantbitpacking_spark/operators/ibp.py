@@ -202,10 +202,18 @@ def bit_count_df(df: DataFrame, tokens_col: str = "tokens",
 def _gated_savings(mat: np.ndarray, mask: np.ndarray, bitval: np.ndarray,
                    mask_popc: np.ndarray) -> int:
     """check_feats semantics (ibp_preproc_kernels.cuh:54-77): per-block
-    savings count only when strictly above the block's header bits."""
+    savings count only when strictly above the block's header bits.
+
+    The weighted row-sum rides a float32 BLAS matvec: per-block sums of
+    <= v terms each <= W fit far inside float32's exact-integer range
+    (2^24), so the result is EXACT while skipping the int64 [n, v]
+    product the broadcast multiply used to materialize — the evaluator
+    runs this once per grid threshold, so its traffic dominates the
+    learn pass."""
     L = mat.shape[1]
     pred = (mat & mask[None, :L]) == bitval[None, :L]
-    per_vec = (pred * mask_popc[None, :L]).sum(axis=1, dtype=np.int64)
+    per_vec = (pred.astype(np.float32) @
+               mask_popc[:L].astype(np.float32)).astype(np.int64)
     return int(np.where(per_vec > L, per_vec - L, 0).sum())
 
 
