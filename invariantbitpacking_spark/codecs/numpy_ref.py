@@ -142,7 +142,11 @@ def _pred_saved(block_u: np.ndarray, mask: np.ndarray, bitval: np.ndarray):
     """Invariance predicate per element + saved bits per vector."""
     pred = (block_u & mask[None, :]) == bitval[None, :]
     mask_popc = _popcount(mask)
-    saved = (pred * mask_popc[None, :]).sum(axis=1, dtype=np.int64)
+    # exact float32 matvec (sums of <= v terms each <= W stay far under
+    # 2^24) — skips the int64 [n, v] broadcast-product temp; this is
+    # the per-batch size pass of every encode
+    saved = (pred.astype(np.float32)
+             @ mask_popc.astype(np.float32)).astype(np.int64)
     return pred, saved
 
 

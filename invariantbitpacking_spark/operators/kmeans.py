@@ -286,8 +286,10 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
                             continue
                         sub = fb.full_mat[sel]
                         pred = (sub & ms[c][None, :]) == bs[c][None, :]
-                        per_vec = (pred * popc[c][None, :]).sum(
-                            axis=1, dtype=np.int64)
+                        # exact float32 matvec (see ibp._gated_savings)
+                        per_vec = (pred.astype(np.float32)
+                                   @ popc[c].astype(np.float32)
+                                   ).astype(np.int64)
                         saveds[g] += np.where(per_vec > vec_size,
                                               per_vec - vec_size, 0).sum()
                 yield pa.RecordBatch.from_arrays(
