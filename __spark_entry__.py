@@ -326,6 +326,35 @@ def q_condensed_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "end_offset long"))
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat docs in doc_id order, chop
+    into 512-token windows) — the repacking every LLM training
+    pipeline runs between the corpus and the batch loader.  The global
+    token offsets come from the two-phase range-partitioned scan (no
+    global window, tokens never shuffled; the per-sequence aggregate
+    exchanges only map-side partials), and the oracle replays the
+    whole concatenation with a window cumsum + lateral unnest, so
+    every sequence's count/sum/first/last is value-checked."""
+    from invariantbitpacking_spark.functions.dataops import (
+        pack_sequence_stats)
+
+    return pack_sequence_stats(_tokens(spark, sf_dir), seq_len=512)
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val split — the reproducible
+    holdout assignment a training pipeline needs (no RNG state, no
+    engine dependence): both engines compute the same md5 hex, docs
+    whose first hex char is 0 or 1 go to val (1/8 expected).  Returns
+    per-(split, source) doc and token counts."""
+    toks = _tokens(spark, sf_dir)
+    split = (F.when(F.substring(F.md5("doc_id"), 1, 1).isin("0", "1"),
+                    "val").otherwise("train"))
+    return (toks.groupBy(split.alias("split"), "source")
+            .agg(F.count(F.lit(1)).alias("docs"),
+                 F.sum("n_tok").cast("long").alias("tokens")))
+
+
 _SNAP_TAG = "v1"  # bump when the encoded on-disk layout changes
 
 
@@ -953,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_encode": q_gather_encode,
         "condensed_offsets": q_condensed_offsets,
         "gather_snapshot": q_gather_snapshot,
+        "pack_sequences": q_pack_sequences,
+        "train_val_split": q_train_val_split,
         "kmeans_roundtrip_by_source": q_kmeans_roundtrip_by_source,
         "kmeans_vs_global_ratio": q_kmeans_vs_global_ratio,
         "kmeans_vs_global_shape": q_kmeans_vs_global_shape,
@@ -1731,6 +1762,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(toks[-1] AS INT) AS tok_last
             FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
             WHERE CAST(doc_id AS VARCHAR) LIKE '%42'
+        """,
+        "pack_sequences": f"""
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              {_TOK} AS toks FROM documents),
+            l AS (SELECT doc_id, toks, len(toks) AS n,
+                    sum(len(toks)) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) - len(toks) AS base
+                  FROM d),
+            f AS (SELECT l.base + g.i AS gpos, l.toks[g.i + 1] AS tok
+                  FROM l, LATERAL (SELECT unnest(range(0, l.n)) AS i) g)
+            SELECT CAST(gpos // 512 AS BIGINT) AS seq_id,
+                   CAST(count(*) AS INT) AS n_tok,
+                   CAST(sum(tok) AS BIGINT) AS tok_sum,
+                   CAST(arg_min(tok, gpos) AS INT) AS tok_first,
+                   CAST(arg_max(tok, gpos) AS INT) AS tok_last
+            FROM f GROUP BY 1
+        """,
+        "train_val_split": f"""
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              source, {_TOK} AS toks FROM documents)
+            SELECT CASE WHEN substr(md5(doc_id), 1, 1) IN ('0', '1')
+                        THEN 'val' ELSE 'train' END AS split,
+                   source,
+                   CAST(count(*) AS BIGINT) AS docs,
+                   CAST(sum(len(toks)) AS BIGINT) AS tokens
+            FROM t GROUP BY 1, 2
         """,
         "fsst_roundtrip": """
             SELECT source, COUNT(*) AS docs, COUNT(*) AS ok_docs

@@ -660,3 +660,104 @@ def lang_id(docs: DataFrame) -> DataFrame:
         best_score = F.when(cond, F.col(f"s_{lang}")).otherwise(best_score)
     return d.select("doc_id", best.alias("pred_lang"),
                     best_score.alias("marker_hits"))
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (GPT-style concat-and-chop)
+# ---------------------------------------------------------------------------
+
+def _global_token_offsets(toks: DataFrame) -> DataFrame:
+    """Each document's absolute token offset in the doc_id-ordered
+    concatenation of the corpus — WITHOUT a global unpartitioned
+    window.  Deterministic range buckets (one bounded
+    TakeOrderedAndProject sample) assign each doc a pid; per-pid token
+    totals collect to broadcast base offsets; a local cumsum inside
+    each pid partition finishes the scan.  Every stage stays parallel
+    (the same two-phase shape as the condensed-offsets query)."""
+    spark = toks.sparkSession
+    nparts = max(spark.sparkContext.defaultParallelism, 2)
+    ids = sorted(r[0] for r in toks.select("doc_id")
+                 .orderBy(F.xxhash64("doc_id"))
+                 .limit(nparts * 128).collect())
+    step = max(len(ids) // nparts, 1)
+    bounds = ids[step::step][:nparts - 1]
+    pid = F.lit(0)
+    for b in bounds:
+        pid = pid + (F.col("doc_id") > F.lit(b)).cast("int")
+    sized = (toks.select("doc_id", "n_tok", "tokens")
+             .withColumn("pid", pid.cast("int")))
+    totals = {r["pid"]: int(r["t"]) for r in
+              sized.groupBy("pid").agg(F.sum("n_tok").alias("t"))
+              .collect()}
+    bases, acc = {}, 0
+    for p in range(len(bounds) + 1):
+        bases[p] = acc
+        acc += totals.get(p, 0)
+
+    def scan(batches):
+        run: dict[int, int] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ns = pdf["n_tok"].to_numpy(np.int64)
+            pids = pdf["pid"].to_numpy()
+            out = np.empty(len(pdf), np.int64)
+            grp = np.flatnonzero(np.r_[True, pids[1:] != pids[:-1]])
+            for s, e in zip(grp.tolist(),
+                            np.r_[grp[1:], len(pdf)].tolist()):
+                p = int(pids[s])
+                base = run.get(p, bases.get(p, 0))
+                cs = np.cumsum(ns[s:e])
+                out[s:e] = base + cs - ns[s:e]
+                run[p] = int(base + cs[-1])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "tokens": pdf["tokens"],
+                                "base": out})
+
+    return (sized.repartition(nparts, "pid")
+            .sortWithinPartitions("pid", "doc_id")
+            .mapInPandas(scan,
+                         schema="doc_id string, tokens array<int>, "
+                                "base long"))
+
+
+def pack_sequence_stats(toks: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Training-sequence packing, stats view: documents are
+    concatenated in doc_id order and chopped into fixed ``seq_len``
+    windows (the packing most LLM training pipelines apply before
+    batching); returns per-sequence (seq_id, n_tok, tok_sum,
+    tok_first, tok_last).
+
+    Scale shape: the two-phase offset scan never shuffles tokens, and
+    the per-sequence aggregate is map-side partial — the exchange
+    carries only (partition x sequence) partial rows, never token
+    data."""
+    ex = (_global_token_offsets(toks)
+          .select("base", F.posexplode("tokens").alias("pos", "tok"))
+          .withColumn("gpos", F.col("base") + F.col("pos"))
+          .withColumn("seq_id",
+                      F.floor(F.col("gpos") / seq_len).cast("long")))
+    return ex.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_tok"),
+        F.sum("tok").cast("long").alias("tok_sum"),
+        F.min_by("tok", "gpos").alias("tok_first"),
+        F.max_by("tok", "gpos").alias("tok_last"))
+
+
+def pack_sequences(toks: DataFrame, seq_len: int = 512) -> DataFrame:
+    """Full packer: emits (seq_id, n_tok, tokens) with every sequence
+    exactly ``seq_len`` tokens except the last.  Unlike the stats
+    view this SHUFFLES the token stream once (keyed by seq_id) — the
+    inherent cost of materializing repacked rows; at corpus scale,
+    prefer running it on the encoder's output partitions."""
+    ex = (_global_token_offsets(toks)
+          .select("base", F.posexplode("tokens").alias("pos", "tok"))
+          .withColumn("gpos", F.col("base") + F.col("pos"))
+          .withColumn("seq_id",
+                      F.floor(F.col("gpos") / seq_len).cast("long")))
+    return (ex.groupBy("seq_id")
+            .agg(F.sort_array(F.collect_list(
+                F.struct("gpos", "tok"))).alias("s"))
+            .select("seq_id",
+                    F.size("s").cast("int").alias("n_tok"),
+                    F.transform("s", lambda x: x["tok"]).alias("tokens")))

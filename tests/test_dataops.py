@@ -283,3 +283,27 @@ def test_kmeans_seeding_sees_every_modality(spark):
     # centroids inside modality A)
     high = {int(bv[0]) >> 20 for bv in kp.bitvals}
     assert high == {0, 7}, high
+
+
+def test_pack_sequences_full_packer(spark, tokens_df):
+    """The packed stream is EXACTLY the doc_id-ordered concatenation
+    chopped at seq_len: concatenating the packed sequences back in
+    seq_id order reproduces the original token stream."""
+    from pyspark.sql import functions as F
+
+    from invariantbitpacking_spark.functions.dataops import pack_sequences
+
+    sub = tokens_df.limit(120)
+    L = 64
+    packed = pack_sequences(sub, seq_len=L).orderBy("seq_id").collect()
+    stream = []
+    for r in sub.orderBy("doc_id").collect():
+        stream.extend(r["tokens"])
+    got = []
+    for i, r in enumerate(packed):
+        assert r["seq_id"] == i
+        assert r["n_tok"] == len(r["tokens"])
+        if i < len(packed) - 1:
+            assert r["n_tok"] == L  # every sequence full except the last
+        got.extend(r["tokens"])
+    assert got == stream
