@@ -632,3 +632,20 @@ def test_fetch_pushes_in_filter_to_scan(spark, tokens_df, outdir):
     got = {r["doc_id"] for r in pipe.fetch(ids, "snapPF")
            .select("doc_id").collect()}
     assert got == set(ids)
+
+
+def test_fetch_large_id_list_uses_join_path(spark, tokens_df, outdir):
+    """Id lists over the IN-pushdown cap must take the broadcast
+    semi-join path and return exactly the existing hits."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(50)
+    pipe.run(sub, "snapBIG")
+    real = [r["doc_id"] for r in sub.select("doc_id").collect()]
+    ids = real + [f"ghost-{i}" for i in range(1100)]  # > 1024 total
+    dec = pipe.fetch(ids, "snapBIG")
+    got = {r["doc_id"] for r in dec.select("doc_id").collect()}
+    assert got == set(real)
+    plan = pipe.fetch(ids, "snapBIG", decode=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # join path, not the IN literal
