@@ -311,8 +311,16 @@ class CompressionPipeline:
                     base = base.filter(F.col("snapshot_id") == snapshot_id)
                 delta_paths = self._delta_paths(snapshot_id)
             else:
-                delta_paths = ([self.delta_dir]
-                               if self.fs.listdir(self.delta_dir) else [])
+                # only snapshot dirs that still hold bucket children:
+                # compaction can leave empty snapshot dirs (and the
+                # root write drops a _SUCCESS marker) — reading those
+                # would fail schema inference
+                delta_paths = [
+                    _join(self.delta_dir, s)
+                    for s in self.fs.listdir(self.delta_dir)
+                    if s.startswith("snapshot_id=")
+                    and any(c.startswith("bucket=") for c in
+                            self.fs.listdir(_join(self.delta_dir, s)))]
         if not delta_paths:
             if base is None:
                 raise ValueError("nothing stored at "
@@ -504,10 +512,14 @@ class CompressionPipeline:
         if order_col is not None:  # ordering column is not payload
             toks_delta = toks_delta.drop(order_col)
         done = self.committed_buckets(snapshot_id)
-        if not done:
+        if len(done) < self.num_buckets:
+            # appending into a half-run snapshot would commit lineage
+            # rows for buckets the resumed run() then SKIPS, silently
+            # dropping the original corpus docs of those buckets
             raise ValueError(
-                f"append: snapshot {snapshot_id!r} has no committed "
-                "buckets to append into — run() it first")
+                f"append: snapshot {snapshot_id!r} has "
+                f"{len(done)}/{self.num_buckets} buckets committed — "
+                "finish run() before appending")
         nb = self.num_buckets
         params = self.load_or_learn_params(toks_delta, snapshot_id)
         # Legacy v1 outputs carry PLAIN string columns (no table file);
@@ -823,6 +835,12 @@ class CompressionPipeline:
                 self.fs.delete(
                     _join(self.delta_dir, f"snapshot_id={snapshot_id}",
                           f"bucket={b}"), recursive=True)
+            # fully-drained snapshot: drop the now-empty delta dir so
+            # multi-snapshot readers never try to infer a schema from it
+            snap_dir = _join(self.delta_dir, f"snapshot_id={snapshot_id}")
+            if not any(c.startswith("bucket=")
+                       for c in self.fs.listdir(snap_dir)):
+                self.fs.delete(snap_dir, recursive=True)
             wall = time.perf_counter() - t0
             for r in self._commit_wave(snapshot_id, wave, wall):
                 for k in totals:
@@ -845,10 +863,11 @@ class CompressionPipeline:
         don't exist is a no-op (the bucket is rewritten byte-identical
         — idempotent by the same argument as append)."""
         done = self.committed_buckets(snapshot_id)
-        if not done:
+        if len(done) < self.num_buckets:
             raise ValueError(
-                f"delete: snapshot {snapshot_id!r} has no committed "
-                "buckets — nothing to delete from")
+                f"delete: snapshot {snapshot_id!r} has "
+                f"{len(done)}/{self.num_buckets} buckets committed — "
+                "finish run() before deleting")
         nb = self.num_buckets
         fsst_table = self._fsst_table(snapshot_id)
         salted = ids.select(

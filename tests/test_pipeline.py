@@ -275,7 +275,7 @@ def test_append_upsert_replaces_and_is_idempotent(spark, tokens_df, outdir):
 
 def test_append_requires_committed_snapshot(spark, tokens_df, outdir):
     pipe = CompressionPipeline(spark, outdir, num_buckets=8)
-    with pytest.raises(ValueError, match="no committed buckets"):
+    with pytest.raises(ValueError, match="finish run"):
         pipe.append(_delta_df(spark, 3), "nope")
 
 
@@ -649,3 +649,42 @@ def test_fetch_large_id_list_uses_join_path(spark, tokens_df, outdir):
     plan = pipe.fetch(ids, "snapBIG", decode=False)._jdf \
         .queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan  # join path, not the IN literal
+
+
+def test_read_all_snapshots_after_full_compaction(spark, tokens_df, outdir):
+    """Regression: a fully-drained delta dir (empty snapshot_id=S dir
+    plus a _SUCCESS marker) must not break multi-snapshot reads."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(80)
+    pipe.run(sub, "s1")
+    delta = spark.createDataFrame(
+        [("rx-1", [1, 2, 3], 3, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    pipe.append(delta, "s1")
+    pipe.compact("s1")
+    # the all-snapshots read path must survive the leftover delta dir
+    assert pipe.read_encoded().count() == sub.count() + 1
+    assert pipe.read_encoded("s1").count() == sub.count() + 1
+    assert pipe.verify_checksums("s1") == 0
+
+
+def test_append_and_delete_require_fully_committed_snapshot(
+        spark, tokens_df, outdir):
+    """Appending or deleting against a half-run snapshot would commit
+    lineage rows for buckets the resumed run() then skips — refuse."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=3,
+                               sample_fraction=None)
+    pipe.run(tokens_df, "half", max_waves=1)  # 3/8 buckets committed
+    delta = spark.createDataFrame(
+        [("h-1", [1, 2], 2, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    with pytest.raises(ValueError, match="finish run"):
+        pipe.append(delta, "half")
+    ids = spark.createDataFrame([("h-1",)], "doc_id string")
+    with pytest.raises(ValueError, match="finish run"):
+        pipe.delete(ids, "half")
+    # completing the run unblocks both
+    pipe.run(tokens_df, "half")
+    pipe.append(delta, "half")
+    assert pipe.verify_checksums("half") == 0
