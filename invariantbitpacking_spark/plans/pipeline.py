@@ -258,11 +258,18 @@ class CompressionPipeline:
     # returns to a pure scan.
 
     def _delta_buckets(self, snapshot_id: str) -> list[int]:
-        """Buckets of a snapshot that currently carry delta files."""
-        names = self.fs.listdir(
-            _join(self.delta_dir, f"snapshot_id={snapshot_id}"))
-        return sorted(int(n.split("=", 1)[1]) for n in names
-                      if n.startswith("bucket="))
+        """Buckets of a snapshot that currently carry delta files —
+        childless bucket dirs (orphan-cleanup leftovers) don't count;
+        listing them would feed schema inference an empty tree."""
+        snap = _join(self.delta_dir, f"snapshot_id={snapshot_id}")
+        out = []
+        for n in self.fs.listdir(snap):
+            if not n.startswith("bucket="):
+                continue
+            if any(c.startswith("delta_seq=")
+                   for c in self.fs.listdir(_join(snap, n))):
+                out.append(int(n.split("=", 1)[1]))
+        return sorted(out)
 
     def _delta_paths(self, snapshot_id: str, buckets=None) -> list[str]:
         have = self._delta_buckets(snapshot_id)
@@ -625,6 +632,22 @@ class CompressionPipeline:
             enc = enc.withColumn("row_xxh", F.xxhash64("payload"))
             seq = self._next_commit_seq()
             enc = enc.withColumn("delta_seq", F.lit(seq).cast("long"))
+            # Crash-retry hygiene: an attempt that died between the
+            # delta write and the lineage commit left orphan rows at
+            # THIS seq (the seq derives from lineage, which the crash
+            # never advanced).  They must go before the replaced-stats
+            # read — otherwise repl would subtract the orphan rows
+            # instead of the base rows they superseded, and the
+            # read-back would double-count the re-written copy.
+            for b in wave:
+                bdir = _join(self.delta_dir,
+                             f"snapshot_id={snapshot_id}", f"bucket={b}")
+                orphan = _join(bdir, f"delta_seq={seq}")
+                if self.fs.exists(orphan):
+                    self.fs.delete(orphan, recursive=True)
+                    if not any(c.startswith("delta_seq=")
+                               for c in self.fs.listdir(bdir)):
+                        self.fs.delete(bdir, recursive=True)
             # Stats of the rows this delta SUPERSEDES, computed from
             # the pre-delta resolved view restricted (broadcast
             # semi-join) to the delta's keys.  row_xxh keeps the scan

@@ -688,3 +688,48 @@ def test_append_and_delete_require_fully_committed_snapshot(
     pipe.run(tokens_df, "half")
     pipe.append(delta, "half")
     assert pipe.verify_checksums("half") == 0
+
+
+def test_delta_append_crash_retry_converges(spark, tokens_df, outdir):
+    """A delta append that dies AFTER the delta write but BEFORE the
+    lineage commit leaves orphan rows at the computed seq; replaying
+    the same append must clean them and converge to exact stats
+    (docs, checksums) — the exactly-once table-state claim under the
+    streaming ingest's at-least-once batches."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(100)
+    pipe.run(sub, "snapCR")
+    n0 = sub.count()
+    upd = sub.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    delta = spark.createDataFrame(
+        [(upd, [42, 43], 2, "web"), ("cr-new", [7, 8, 9], 3, "web")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    # crash simulation: the commit step raises on the first attempt
+    real_commit = pipe._commit_delta_wave
+    state = {"fail": True}
+
+    def failing_commit(*a, **k):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("simulated crash before lineage commit")
+        return real_commit(*a, **k)
+
+    pipe._commit_delta_wave = failing_commit
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.append(delta, "snapCR")
+    # orphan delta rows exist, lineage does not reflect them
+    assert pipe._delta_buckets("snapCR")
+    assert pipe.verify_checksums("snapCR") != 0  # detectable window
+    # replay the SAME delta: must clean the orphans and commit exactly
+    pipe.append(delta, "snapCR")
+    enc = pipe.read_encoded("snapCR")
+    assert enc.count() == n0 + 1
+    assert pipe.verify_checksums("snapCR") == 0
+    lin = pipe.latest_lineage("snapCR")
+    assert lin.agg(F.sum("docs")).collect()[0][0] == n0 + 1
+    params = pipe.load_or_learn_params(sub, "snapCR")
+    from invariantbitpacking_spark.operators import selector
+    dec = selector.decode_auto(enc, params)
+    assert list(dec.filter(F.col("doc_id") == upd)
+                .first()["tokens"]) == [42, 43]
