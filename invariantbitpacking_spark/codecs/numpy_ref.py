@@ -144,9 +144,16 @@ def _pred_saved(block_u: np.ndarray, mask: np.ndarray, bitval: np.ndarray):
     mask_popc = _popcount(mask)
     # exact float32 matvec (sums of <= v terms each <= W stay far under
     # 2^24) — skips the int64 [n, v] broadcast-product temp; this is
-    # the per-batch size pass of every encode
-    saved = (pred.astype(np.float32)
-             @ mask_popc.astype(np.float32)).astype(np.int64)
+    # the per-batch size pass of every encode.  The exactness argument
+    # needs sum(popcount(mask)) < 2^24 (every partial sum is then an
+    # exactly representable float32 integer); an unusually wide
+    # configured vec_size would break it silently, so guard and fall
+    # back to the exact int64 path.
+    if int(mask_popc.sum()) < (1 << 24):
+        saved = (pred.astype(np.float32)
+                 @ mask_popc.astype(np.float32)).astype(np.int64)
+    else:
+        saved = pred @ mask_popc.astype(np.int64)
     return pred, saved
 
 

@@ -68,9 +68,12 @@ def generate_assets_df(spark: SparkSession, n: int = 300,
 
 def make_bmp24(w: int, h: int, pixels: np.ndarray) -> bytes:
     """Uncompressed 24-bit BI_RGB BMP.  ``pixels`` is uint8 of size
-    h*w*3 in raster (top-down) order; rows are written bottom-up with
-    4-byte padding per the format."""
-    px = np.asarray(pixels, np.uint8).reshape(h, w * 3)
+    h*w*3 in RGB raster (top-down) order; rows are written bottom-up
+    with 4-byte padding and BGR channel order per the format — so a
+    make_bmp24 -> decode_image round trip returns the input verbatim
+    (decode_image flips the file's BGR back to RGB)."""
+    px = np.asarray(pixels, np.uint8).reshape(h, w, 3)[:, :, ::-1]
+    px = np.ascontiguousarray(px).reshape(h, w * 3)
     stride = (w * 3 + 3) & ~3
     body = np.zeros((h, stride), np.uint8)
     body[:, :w * 3] = px[::-1]  # bottom-up row order

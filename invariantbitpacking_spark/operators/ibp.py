@@ -212,8 +212,13 @@ def _gated_savings(mat: np.ndarray, mask: np.ndarray, bitval: np.ndarray,
     learn pass."""
     L = mat.shape[1]
     pred = (mat & mask[None, :L]) == bitval[None, :L]
-    per_vec = (pred.astype(np.float32) @
-               mask_popc[:L].astype(np.float32)).astype(np.int64)
+    if int(mask_popc[:L].sum()) < (1 << 24):
+        per_vec = (pred.astype(np.float32) @
+                   mask_popc[:L].astype(np.float32)).astype(np.int64)
+    else:
+        # sum(popcount) can exceed float32's exact-integer range only
+        # for an enormous configured vec_size — take the exact path
+        per_vec = pred @ mask_popc[:L].astype(np.int64)
     return int(np.where(per_vec > L, per_vec - L, 0).sum())
 
 

@@ -286,10 +286,14 @@ def learn_kmeans(df: DataFrame, k: int = 8, iters: int = 10,
                             continue
                         sub = fb.full_mat[sel]
                         pred = (sub & ms[c][None, :]) == bs[c][None, :]
-                        # exact float32 matvec (see ibp._gated_savings)
-                        per_vec = (pred.astype(np.float32)
-                                   @ popc[c].astype(np.float32)
-                                   ).astype(np.int64)
+                        # exact float32 matvec (see ibp._gated_savings);
+                        # same 2^24 exactness guard as there
+                        if int(popc[c].sum()) < (1 << 24):
+                            per_vec = (pred.astype(np.float32)
+                                       @ popc[c].astype(np.float32)
+                                       ).astype(np.int64)
+                        else:
+                            per_vec = pred @ popc[c].astype(np.int64)
                         saveds[g] += np.where(per_vec > vec_size,
                                               per_vec - vec_size, 0).sum()
                 yield pa.RecordBatch.from_arrays(

@@ -54,6 +54,12 @@ LINEAGE_SCHEMA = (
     "commit_seq long"
 )
 
+# Sentinel codec of a DELETE marker row in the delta tree: it wins
+# latest-wins resolution like any delta row but is filtered from every
+# resolved view, so the document reads as gone while the base bucket
+# stays byte-identical until compact() physically erases it.
+TOMBSTONE_CODEC = "tombstone"
+
 
 @dataclass
 class PipelineResult:
@@ -91,7 +97,29 @@ class CompressionPipeline:
 
     # -- lineage -----------------------------------------------------------
 
+    def _heal_lineage(self) -> None:
+        """Finish a compact_lineage swap that crashed between its two
+        renames: in that window the lineage dir is MISSING while
+        encoded/ + delta/ files remain, so without recovery every
+        committed bucket would be forgotten — run() would re-encode
+        buckets whose live delta files then supersede the fresh base
+        rows at read time.  The fully-written ``.compact`` dir (counted
+        back before the swap began) is the newest complete state; a
+        lone ``.old`` dir means the crash hit before the first rename
+        finished and the pre-compaction state is authoritative."""
+        if self.fs.exists(self.lineage_dir):
+            return
+        tmp = self.lineage_dir + ".compact"
+        old = self.lineage_dir + ".old"
+        if self.fs.exists(tmp):
+            self.fs.rename(tmp, self.lineage_dir)
+            if self.fs.exists(old):
+                self.fs.delete(old, recursive=True)
+        elif self.fs.exists(old):
+            self.fs.rename(old, self.lineage_dir)
+
     def lineage(self) -> DataFrame:
+        self._heal_lineage()
         try:
             df = (self.spark.read.option("mergeSchema", "true")
                   .parquet(self.lineage_dir))
@@ -257,6 +285,51 @@ class CompressionPipeline:
     # :meth:`compact` folds them into the base and the read plan
     # returns to a pure scan.
 
+    def _snapshot_max_seq(self, snapshot_id: str) -> int:
+        """Max commit_seq over THIS snapshot's committed lineage rows.
+        Every committed delta dir satisfies delta_seq <= this value
+        (the delta commit appends lineage rows carrying the delta's own
+        seq), so any delta dir above it is an orphan from a crashed
+        append."""
+        row = (self.lineage()
+               .filter((F.col("snapshot_id") == snapshot_id)
+                       & (F.col("status") == "committed"))
+               .agg(F.max("commit_seq").alias("m")).collect()[0])
+        return int(row["m"] or 0)
+
+    def _purge_orphan_deltas(self, snapshot_id: str) -> int:
+        """Delete every delta_seq dir STRICTLY greater than the
+        snapshot's lineage max commit_seq.  A crashed append leaves its
+        delta files with no lineage commit; if other snapshots advance
+        the GLOBAL sequence before the retry, the retry's fresh seq no
+        longer matches the orphan's, so matching only the next seq
+        (the old scheme) left the orphan behind as fake committed data
+        — the incremental stats then drift permanently.  The
+        per-snapshot max is crash-ordering-proof.  Returns dirs
+        removed."""
+        snap = _join(self.delta_dir, f"snapshot_id={snapshot_id}")
+        if not self.fs.exists(snap):
+            return 0
+        max_seq = self._snapshot_max_seq(snapshot_id)
+        removed = 0
+        for bname in self.fs.listdir(snap):
+            if not bname.startswith("bucket="):
+                continue
+            bdir = _join(snap, bname)
+            for sname in self.fs.listdir(bdir):
+                if not sname.startswith("delta_seq="):
+                    continue
+                if int(sname.split("=", 1)[1]) > max_seq:
+                    self.fs.delete(_join(bdir, sname), recursive=True)
+                    removed += 1
+            if not any(c.startswith("delta_seq=")
+                       for c in self.fs.listdir(bdir)):
+                self.fs.delete(bdir, recursive=True)
+        if not any(c.startswith("bucket=")
+                   for c in self.fs.listdir(snap)):
+            self.fs.delete(snap, recursive=True)
+        return removed
+
     def _delta_buckets(self, snapshot_id: str) -> list[int]:
         """Buckets of a snapshot that currently carry delta files —
         childless bucket dirs (orphan-cleanup leftovers) don't count;
@@ -291,12 +364,23 @@ class CompressionPipeline:
                 .filter(F.col("_rn") == 1).drop("_rn", "delta_seq"))
 
     def _resolved(self, snapshot_id: str | None = None,
-                  buckets=None) -> DataFrame:
+                  buckets=None, as_of_seq: int | None = None) -> DataFrame:
         """The snapshot's CURRENT logical rows: base minus doc_ids
-        superseded by deltas, plus the latest delta rows.  The big side
-        (base) is never shuffled — superseded rows fall to a broadcast
+        superseded by deltas, plus the latest delta rows — minus
+        documents whose latest delta is a TOMBSTONE (codec
+        'tombstone', the O(delta) delete marker).  The big side (base)
+        is never shuffled — superseded rows fall to a broadcast
         anti-join on the small delta key set.  ``buckets`` prunes both
-        listings to the given bucket dirs (the fetch path)."""
+        listings to the given bucket dirs (the fetch path).
+
+        ``as_of_seq`` is TIME TRAVEL: only delta files with
+        ``delta_seq <= as_of_seq`` participate (delta_seq is a
+        partition directory, so the filter prunes at listing level) —
+        an upsert or tombstone committed after that sequence is
+        invisible and the superseded/deleted row resurfaces.  History
+        reaches back to the last :meth:`compact` of the affected
+        buckets: compaction folds deltas into the base and deletes the
+        delta files, garbage-collecting everything older."""
         if buckets is not None:
             if snapshot_id is None:
                 raise ValueError("bucket pruning needs a snapshot_id")
@@ -335,13 +419,19 @@ class CompressionPipeline:
             return base
         deltas = (self.spark.read.option("basePath", self.delta_dir)
                   .parquet(*delta_paths))
+        if as_of_seq is not None:
+            deltas = deltas.filter(F.col("delta_seq") <= int(as_of_seq))
         latest = self._latest_delta(deltas)
+        # a tombstone that wins latest-wins DELETES the document: it
+        # must still shadow the base row (stay in the anti-join keys)
+        # but contribute no output row itself
+        live = latest.filter(F.col("codec") != TOMBSTONE_CODEC)
         if base is None:
-            return latest
+            return live
         keys = latest.select("snapshot_id", "doc_id")
         kept = base.join(F.broadcast(keys), ["snapshot_id", "doc_id"],
                          "left_anti")
-        return kept.unionByName(latest, allowMissingColumns=True)
+        return kept.unionByName(live, allowMissingColumns=True)
 
     # -- main --------------------------------------------------------------
 
@@ -476,7 +566,11 @@ class CompressionPipeline:
           given the persisted global table, so equality on encoded
           bytes IS equality on ids, with no decode pass.
         - ``mode="append"``: the caller guarantees delta doc_ids are
-          new; existing rows are kept as-is.
+          new; existing rows are kept as-is.  Only meaningful with
+          ``strategy="rewrite"`` — delta files resolve latest-wins at
+          read time, so the delta strategy ALWAYS has upsert semantics
+          and ``mode="append"`` with it raises rather than silently
+          upserting.
 
         Commit protocol per wave of affected buckets: the combined
         frame is staged to its own directory first (Spark refuses to
@@ -501,6 +595,13 @@ class CompressionPipeline:
             raise ValueError(f"append: unknown mode {mode!r}")
         if strategy not in ("delta", "rewrite"):
             raise ValueError(f"append: unknown strategy {strategy!r}")
+        if mode == "append" and strategy == "delta":
+            # read-side delta resolution is unconditionally latest-wins,
+            # so keep-existing semantics cannot be honored on this path
+            raise ValueError(
+                'append: mode="append" (keep existing rows) requires '
+                'strategy="rewrite" — delta files always resolve as '
+                "latest-wins upserts at read time")
         # Dedupe the delta ITSELF on doc_id: the upsert anti-join only
         # removes pre-existing rows, so a doc_id appearing twice within
         # one delta (two inbox files carrying the same revised doc in a
@@ -616,6 +717,15 @@ class CompressionPipeline:
         latest-wins upsert (see ``_resolved``)."""
         nb = self.num_buckets
         totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
+        # Crash-retry hygiene: an attempt that died between the delta
+        # write and the lineage commit left orphan delta dirs whose seq
+        # never made it into lineage.  They must go before the
+        # replaced-stats read — otherwise repl would subtract the
+        # orphan rows instead of the base rows they superseded.  The
+        # purge keys on the SNAPSHOT's lineage max (every committed
+        # delta_seq <= it), so it catches orphans even when other
+        # snapshots advanced the global sequence since the crash.
+        self._purge_orphan_deltas(snapshot_id)
         # ONE wave: waves exist to bound the memory of bucket REWRITES,
         # but a delta wave's work is O(delta) regardless of how many
         # buckets it salts into — splitting it would only multiply the
@@ -632,62 +742,14 @@ class CompressionPipeline:
             enc = enc.withColumn("row_xxh", F.xxhash64("payload"))
             seq = self._next_commit_seq()
             enc = enc.withColumn("delta_seq", F.lit(seq).cast("long"))
-            # Crash-retry hygiene: an attempt that died between the
-            # delta write and the lineage commit left orphan rows at
-            # THIS seq (the seq derives from lineage, which the crash
-            # never advanced).  They must go before the replaced-stats
-            # read — otherwise repl would subtract the orphan rows
-            # instead of the base rows they superseded, and the
-            # read-back would double-count the re-written copy.
-            for b in wave:
-                bdir = _join(self.delta_dir,
-                             f"snapshot_id={snapshot_id}", f"bucket={b}")
-                orphan = _join(bdir, f"delta_seq={seq}")
-                if self.fs.exists(orphan):
-                    self.fs.delete(orphan, recursive=True)
-                    if not any(c.startswith("delta_seq=")
-                               for c in self.fs.listdir(bdir)):
-                        self.fs.delete(bdir, recursive=True)
             # Stats of the rows this delta SUPERSEDES, computed from
             # the pre-delta resolved view restricted (broadcast
-            # semi-join) to the delta's keys.  row_xxh keeps the scan
-            # thin; a legacy base without the column falls back to
-            # hashing payload for this wave (documented degradation).
+            # semi-join) to the delta's keys.
             keys = (part.select("snapshot_id", "doc_id").distinct())
             if fsst_table is not None:
                 keys = fstr.encode_string_cols(keys, fsst_table,
                                                ("doc_id",))
-            repl = []
-            try:
-                cur = self._resolved(snapshot_id, wave)
-            except ValueError:
-                cur = None
-            if cur is not None:
-                matched = cur.join(F.broadcast(keys),
-                                   ["snapshot_id", "doc_id"], "left_semi")
-
-                def _repl_agg(hx):
-                    return (matched.withColumn("_hx", hx)
-                            .groupBy("bucket", "codec").agg(
-                        F.count(F.lit(1)).alias("docs"),
-                        F.sum("n_tok").alias("tokens"),
-                        F.sum("raw_bytes").alias("raw_bytes"),
-                        F.sum("comp_bytes").alias("comp_bytes"),
-                        F.expr("bit_xor(_hx)").alias("xxh"),
-                        F.sum(F.when(F.col("_hx").isNull(), 1)
-                              .otherwise(0)).alias("nulls"))
-                        .collect())
-
-                # thin path: the persisted row hash keeps payload bytes
-                # UNREAD.  Only a legacy base (files written before
-                # row_xxh existed => nulls) forces the degraded pass
-                # that hashes payload for this wave.
-                if "row_xxh" in cur.columns:
-                    repl = _repl_agg(F.col("row_xxh"))
-                    if any(int(r["nulls"] or 0) > 0 for r in repl):
-                        repl = _repl_agg(F.xxhash64("payload"))
-                else:
-                    repl = _repl_agg(F.xxhash64("payload"))
+            repl = self._replaced_stats(snapshot_id, wave, keys)
             (enc.write.mode("append")
              .partitionBy("snapshot_id", "bucket", "delta_seq")
              .parquet(self.delta_dir))
@@ -713,7 +775,7 @@ class CompressionPipeline:
                     .collect())
             wall = time.perf_counter() - t0
             for r in self._commit_delta_wave(snapshot_id, wave, repl,
-                                             added, wall):
+                                             added, wall, seq):
                 for k in totals:
                     totals[k] += int(r[k])
         return PipelineResult(snapshot_id, len(affected),
@@ -721,13 +783,55 @@ class CompressionPipeline:
                               totals["tokens"], totals["raw_bytes"],
                               totals["comp_bytes"])
 
+    def _replaced_stats(self, snapshot_id: str, wave, keys) -> list:
+        """Per-(bucket, codec) stats of the CURRENT rows matching
+        ``keys`` (a DataFrame of (snapshot_id, doc_id) with doc_id
+        already encoded to the storage layout) — the rows a delta
+        upsert or tombstone delete supersedes.  row_xxh keeps the scan
+        thin; a legacy base without the column (or with null rows in
+        it) falls back to hashing payload for this wave (documented
+        degradation)."""
+        try:
+            cur = self._resolved(snapshot_id, wave)
+        except ValueError:
+            return []
+        matched = cur.join(F.broadcast(keys),
+                           ["snapshot_id", "doc_id"], "left_semi")
+
+        def _repl_agg(hx):
+            return (matched.withColumn("_hx", hx)
+                    .groupBy("bucket", "codec").agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("n_tok").alias("tokens"),
+                F.sum("raw_bytes").alias("raw_bytes"),
+                F.sum("comp_bytes").alias("comp_bytes"),
+                F.expr("bit_xor(_hx)").alias("xxh"),
+                F.sum(F.when(F.col("_hx").isNull(), 1)
+                      .otherwise(0)).alias("nulls"))
+                .collect())
+
+        # thin path: the persisted row hash keeps payload bytes
+        # UNREAD.  Only a legacy base (files written before row_xxh
+        # existed => nulls) forces the degraded pass.
+        if "row_xxh" in cur.columns:
+            repl = _repl_agg(F.col("row_xxh"))
+            if any(int(r["nulls"] or 0) > 0 for r in repl):
+                repl = _repl_agg(F.xxhash64("payload"))
+        else:
+            repl = _repl_agg(F.xxhash64("payload"))
+        return repl
+
     def _commit_delta_wave(self, snapshot_id: str, wave, repl, added,
-                           wall: float) -> list:
+                           wall: float, seq: int) -> list:
         """Superseding lineage rows for a delta wave: per bucket,
         old stats minus replaced plus added (counts subtract/add, the
         XOR-fold composes exactly: x ^ x cancels a replaced row's
-        hash).  Returns the per-bucket ADDED-minus-REPLACED dicts so
-        the caller's running totals stay meaningful."""
+        hash).  ``seq`` is the SAME sequence number the delta files
+        were written under — committing lineage at the delta's own seq
+        is what makes 'committed delta_seq <= snapshot lineage max'
+        a structural invariant (the orphan purge depends on it).
+        Returns the per-bucket ADDED-minus-REPLACED dicts so the
+        caller's running totals stay meaningful."""
         old = {int(r["bucket"]): r for r in
                self.latest_lineage(snapshot_id)
                .filter(F.col("bucket").isin(wave)).collect()}
@@ -748,7 +852,6 @@ class CompressionPipeline:
         acc(repl, -1)
         acc(added, +1)
         now = time.time()
-        seq = self._next_commit_seq()
         rows, out = [], []
         for b in wave:
             d = agg.get(b)
@@ -820,7 +923,11 @@ class CompressionPipeline:
         accumulated incremental-stat drift to ground truth.  Same
         staged dynamic-partition-overwrite commit as the rewrite path;
         crash-safe at every step because base ⊕ deltas resolve to the
-        same logical rows before AND after each transition."""
+        same logical rows before AND after each transition.  Orphan
+        delta dirs from a crashed append are purged first — folding
+        them into the base would promote uncommitted rows to committed
+        state."""
+        self._purge_orphan_deltas(snapshot_id)
         have = self._delta_buckets(snapshot_id)
         if buckets is not None:
             have = [b for b in have if b in set(buckets)]
@@ -854,6 +961,20 @@ class CompressionPipeline:
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("snapshot_id", "bucket")
                  .parquet(self.data_dir))
+            # a bucket whose every document was tombstoned resolves to
+            # ZERO rows — no staged dir, so dynamic overwrite leaves the
+            # old base files untouched; dropping the delta dirs below
+            # would then resurrect the deleted documents.  Drop the data
+            # dir outright (same rule as the erasure-delete path).
+            staged_set = set(staged_dirs)
+            for b in wave:
+                if (_join(stage, f"snapshot_id={snapshot_id}",
+                          f"bucket={b}") not in staged_set):
+                    ddir = _join(self.data_dir,
+                                 f"snapshot_id={snapshot_id}",
+                                 f"bucket={b}")
+                    if self.fs.exists(ddir):
+                        self.fs.delete(ddir, recursive=True)
             for b in wave:
                 self.fs.delete(
                     _join(self.delta_dir, f"snapshot_id={snapshot_id}",
@@ -874,17 +995,35 @@ class CompressionPipeline:
                               totals["docs"], totals["tokens"],
                               totals["raw_bytes"], totals["comp_bytes"])
 
-    def delete(self, ids: DataFrame, snapshot_id: str) -> PipelineResult:
-        """Bucket-local deletion (the right-to-erasure operation):
-        drop the given doc_ids from a committed snapshot by rewriting
-        ONLY the buckets they salt into — the delete twin of
-        :meth:`append`, same staged dynamic-partition-overwrite commit
-        and superseding lineage rows, so ``verify_checksums`` is green
-        immediately after.  ``ids`` is a DataFrame with a plain-string
-        ``doc_id`` column; matching against the stored table happens on
-        FSST-encoded bytes exactly like upsert.  Deleting ids that
-        don't exist is a no-op (the bucket is rewritten byte-identical
-        — idempotent by the same argument as append)."""
+    def delete(self, ids: DataFrame, snapshot_id: str,
+               strategy: str = "tombstone") -> PipelineResult:
+        """Delete documents from a committed snapshot.
+
+        - ``strategy="tombstone"`` (default): O(delta) LOGICAL delete —
+          one marker row per existing victim lands in the delta tree
+          (codec ``tombstone``, winning latest-wins resolution), a
+          superseding lineage commit subtracts the victims' stats from
+          thin columns, and every read path (``read_encoded``,
+          ``fetch``, ``verify_checksums``) sees the documents as gone
+          — while the base bucket files stay byte-identical.  Physical
+          erasure happens at the next :meth:`compact` of those
+          buckets, which rewrites the base from the resolved view
+          (markers excluded) and drops the delta files.  Cost is
+          independent of bucket payload size: the only base read is
+          the thin-column stats pass.
+        - ``strategy="erasure"``: immediate physical rewrite of the
+          buckets the ids salt into — the right-to-erasure operation,
+          same staged dynamic-partition-overwrite commit as
+          :meth:`append`'s rewrite path; pays O(bucket) per affected
+          bucket.  Equivalent to tombstone-then-compact.
+
+        ``ids`` is a DataFrame with a plain-string ``doc_id`` column;
+        matching against the stored table happens on FSST-encoded
+        bytes exactly like upsert.  Deleting ids that don't exist is a
+        no-op either way (tombstone writes no marker for them;
+        erasure rewrites the bucket byte-identical) — idempotent."""
+        if strategy not in ("tombstone", "erasure"):
+            raise ValueError(f"delete: unknown strategy {strategy!r}")
         done = self.committed_buckets(snapshot_id)
         if len(done) < self.num_buckets:
             raise ValueError(
@@ -898,6 +1037,9 @@ class CompressionPipeline:
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
         affected = sorted(r["bucket"] for r in
                           salted.select("bucket").distinct().collect())
+        if strategy == "tombstone":
+            return self._delete_tombstone(salted, snapshot_id,
+                                          fsst_table, affected)
         # merge-on-read: fold affected buckets' deltas into the base
         # first so erasure rewrites the ONE physical copy (delta rows
         # left behind would resurrect deleted documents at read time)
@@ -966,6 +1108,67 @@ class CompressionPipeline:
                               totals["tokens"], totals["raw_bytes"],
                               totals["comp_bytes"])
 
+    def _delete_tombstone(self, salted: DataFrame, snapshot_id: str,
+                          fsst_table, affected: list) -> PipelineResult:
+        """O(delta) delete: per existing victim, one marker row with
+        codec ``tombstone`` in the delta tree at a fresh delta_seq —
+        latest-wins resolution then shadows the base row and the
+        tombstone itself is filtered from every resolved view.  Stats
+        are subtracted incrementally via the same thin-column
+        replaced-stats pass as delta appends (XOR checksum algebra
+        composes: removing a row XORs its hash back out), so
+        ``verify_checksums`` is green immediately.  Ghost ids write no
+        marker (the victim set is the semi-join of the resolved view
+        with the requested keys), keeping the committed-delta-has-
+        lineage invariant intact."""
+        nb = self.num_buckets
+        self._purge_orphan_deltas(snapshot_id)
+        if not affected:
+            return PipelineResult(snapshot_id, 0, nb, 0, 0, 0, 0)
+        t0 = time.perf_counter()
+        keys = salted.withColumn("snapshot_id", F.lit(snapshot_id))
+        if fsst_table is not None:
+            keys = fstr.encode_string_cols(keys, fsst_table, ("doc_id",))
+        keys = keys.select("snapshot_id", "doc_id").distinct()
+        try:
+            cur = self._resolved(snapshot_id, affected)
+        except ValueError:
+            return PipelineResult(snapshot_id, 0, nb, 0, 0, 0, 0)
+        repl = self._replaced_stats(snapshot_id, affected, keys)
+        if not repl:
+            # nothing matched: pure ghost delete, a no-op
+            return PipelineResult(snapshot_id, 0, nb, 0, 0, 0, 0)
+        seq = self._next_commit_seq()
+        src_t = "binary" if fsst_table is not None else "string"
+        tomb = (cur.join(F.broadcast(keys), ["snapshot_id", "doc_id"],
+                         "left_semi")
+                .select("snapshot_id", "doc_id", "bucket")
+                .withColumn("source", F.lit(None).cast(src_t))
+                .withColumn("n_tok", F.lit(0).cast("int"))
+                .withColumn("n_blocks", F.lit(0).cast("int"))
+                .withColumn("block_sizes",
+                            F.expr("array()").cast("array<int>"))
+                .withColumn("block_flags", F.lit(None).cast("binary"))
+                .withColumn("payload", F.lit(None).cast("binary"))
+                .withColumn("comp_bytes", F.lit(0).cast("long"))
+                .withColumn("raw_bytes", F.lit(0).cast("long"))
+                .withColumn("codec", F.lit(TOMBSTONE_CODEC))
+                .withColumn("row_xxh", F.lit(0).cast("long"))
+                .withColumn("delta_seq", F.lit(seq).cast("long")))
+        (tomb.write.mode("append")
+         .partitionBy("snapshot_id", "bucket", "delta_seq")
+         .parquet(self.delta_dir))
+        wall = time.perf_counter() - t0
+        totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
+        for r in self._commit_delta_wave(snapshot_id, affected, repl, [],
+                                         wall, seq):
+            for k in totals:
+                totals[k] -= int(r[k])  # removed amounts, as positives
+        return PipelineResult(snapshot_id, len(affected),
+                              nb - len(affected), totals["docs"],
+                              totals["tokens"], totals["raw_bytes"],
+                              totals["comp_bytes"])
+
     def cleanup_staging(self, snapshot_id: str) -> None:
         """Drop the staged (uncompressed) copy once every bucket of the
         snapshot is committed — it exists only to make waves prunable."""
@@ -975,9 +1178,20 @@ class CompressionPipeline:
             if self.fs.exists(staging):
                 self.fs.delete(staging, recursive=True)
 
-    def read_encoded(self, snapshot_id: str | None = None) -> DataFrame:
+    def read_encoded(self, snapshot_id: str | None = None,
+                     as_of_seq: int | None = None) -> DataFrame:
         """Encoded table; partition pruning on (snapshot_id, bucket)
         dirs makes per-snapshot reads touch only their own files.
+
+        ``as_of_seq`` is SNAPSHOT TIME TRAVEL: read the table as it
+        stood when lineage commit_seq was ``as_of_seq`` — delta files
+        (upserts AND tombstone deletes) with ``delta_seq > as_of_seq``
+        are ignored, so superseded rows come back bit-identical.
+        History is bounded by garbage collection: :meth:`compact`
+        folds deltas into the base and deletes them, so as-of reads
+        older than the last compaction of a bucket return the
+        compacted (current-base) state for that bucket.  Requires a
+        ``snapshot_id``.
         String columns decode transparently via the persisted global
         FSST table when the data dir carries the v2 (FSST) layout;
         legacy dirs (plain string columns, no fsst_table.json) read
@@ -986,7 +1200,9 @@ class CompressionPipeline:
         a FileNotFoundError or a spurious binary decode.  The view is
         the RESOLVED state: base rows superseded by merge-on-read
         deltas are replaced by the latest delta rows."""
-        df = self._resolved(snapshot_id)
+        if as_of_seq is not None and snapshot_id is None:
+            raise ValueError("read_encoded: as_of_seq needs a snapshot_id")
+        df = self._resolved(snapshot_id, as_of_seq=as_of_seq)
         if "row_xxh" in df.columns:
             df = df.drop("row_xxh")
         enc_cols = tuple(
@@ -1027,7 +1243,8 @@ class CompressionPipeline:
             out = out.unionByName(p)
         return out
 
-    def fetch(self, ids, snapshot_id: str, decode: bool = True) -> DataFrame:
+    def fetch(self, ids, snapshot_id: str, decode: bool = True,
+              as_of_seq: int | None = None) -> DataFrame:
         """Store-level point fetch — "give me these documents", the
         most common operation against a compressed corpus store, and
         the durable twin of ``decompress_fetch(index_arr)`` (reference
@@ -1071,7 +1288,7 @@ class CompressionPipeline:
                 [], "doc_id string, tokens array<int>, n_tok int, "
                     "source string")
             return empty
-        enc = self._resolved(snapshot_id, buckets)
+        enc = self._resolved(snapshot_id, buckets, as_of_seq=as_of_seq)
         if "row_xxh" in enc.columns:
             enc = enc.drop("row_xxh")
         table = self._fsst_table(snapshot_id)

@@ -327,7 +327,7 @@ def test_delete_empties_bucket_in_mixed_wave(spark, tokens_df, outdir):
              .select("doc_id").orderBy("doc_id").first()["doc_id"])
     victims = full_victims + [other]
     ids = spark.createDataFrame([(v,) for v in victims], "doc_id string")
-    pipe.delete(ids, "snapDEL")
+    pipe.delete(ids, "snapDEL", strategy="erasure")
     enc = pipe.read_encoded("snapDEL")
     # right to erasure: every victim gone, including the whole bucket
     assert enc.filter(F.col("doc_id").isin(victims)).count() == 0

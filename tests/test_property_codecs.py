@@ -159,12 +159,14 @@ def test_fsst_small_alphabet_long_symbols(nalpha, seed):
        st.integers(min_value=0, max_value=2**32 - 1))
 def test_bmp24_roundtrip_property(w, h, seed):
     """Arbitrary dims (every stride-padding class) round-trip through
-    the real BMP builder + parser bit-identically."""
+    the real BMP builder + parser bit-identically.  Random per-channel
+    colors make this a COLOR round trip: make_bmp24 takes RGB and
+    writes the file's BGR order, decode_image flips it back."""
     from invariantbitpacking_spark.functions import multimodal as mm
 
     rng = np.random.default_rng(seed)
     px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
-    img, meta = mm.decode_image(mm.make_bmp24(w, h, px[:, :, ::-1]))
+    img, meta = mm.decode_image(mm.make_bmp24(w, h, px))
     assert (meta["w"], meta["h"]) == (w, h)
     np.testing.assert_array_equal(img, px)
 
