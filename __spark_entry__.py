@@ -521,6 +521,96 @@ def q_ibp8_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ftokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """float32 view of the tokens table: each vocab id cast to FLOAT
+    (exactly representable — ids < 32000 < 2^24), giving a float
+    feature column whose IEEE bit patterns are derivable in BOTH
+    engines — Spark encodes the actual bits, DuckDB reconstructs them
+    arithmetically — so the ENTIRE learn/size replay applies to the
+    float path.  Reference analog: float tensors viewed as int words
+    (tests/compress_test.py:30-33 float64 bit-views,
+    tests/nvcomp_comparison.py:39)."""
+    t = _tokens(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        F.transform("tokens", lambda x: x.cast("float")).alias("tokens"),
+        "n_tok", "source")
+
+
+_FPARAMS_CACHE: dict = {}
+
+
+def _fparams(spark: SparkSession, sf_dir: str):
+    from invariantbitpacking_spark.operators import ibp
+
+    if sf_dir not in _FPARAMS_CACHE:
+        _FPARAMS_CACHE[sf_dir] = ibp.learn_params(_ftokens(spark, sf_dir))
+    return _FPARAMS_CACHE[sf_dir]
+
+
+def q_float32_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IBP over an array<float> column end-to-end (learn on the IEEE
+    bit patterns, encode, decode back to float) — the reference's
+    actual DLRM/KV-cache workload shape.  The oracle replays the WHOLE
+    θ sweep + mask + size formula over arithmetically reconstructed
+    bit patterns, so comp_bytes is value-checked too, and ok_docs ==
+    docs asserts every document decodes bit-identical."""
+    from invariantbitpacking_spark.operators import ibp
+
+    ftoks = _ftokens(spark, sf_dir)
+    params = _fparams(spark, sf_dir)
+    assert params.value_kind == "float32"
+    enc = ibp.encode_ibp(ftoks, params)
+    dec = ibp.decode_ibp(enc, params)
+    ok = (ftoks.alias("a").join(dec.alias("b"), "doc_id")
+          .select(F.col("a.source").alias("source"),
+                  (F.col("a.tokens") == F.col("b.tokens"))
+                  .cast("long").alias("ok"))
+          .groupBy("source").agg(F.sum("ok").alias("ok_docs")))
+    per = enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("comp_bytes").alias("comp_bytes"))
+    return (per.join(ok, "source")
+            .select("source", "docs", "ok_docs", "raw_bytes", "comp_bytes")
+            .orderBy("source"))
+
+
+def q_embedding_ibp_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN suite's real embedding column (array<float>, dim 64)
+    through the IBP path: learn on the embeddings' bit patterns with
+    vec_size=64 (one full block per vector — the DLRM embedding-table
+    shape), encode, decode, account per label.  The oracle
+    reconstructs every float's exact IEEE-754 bit pattern IN SQL
+    (sign/exponent/mantissa arithmetic, subnormals included) and
+    replays learn + sizes on them — comp_bytes and the bit-identical
+    round trip are both value-checked against real float data."""
+    from invariantbitpacking_spark.operators import ibp
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.select(
+        F.col("vec_id").cast("string").alias("doc_id"),
+        F.col("embedding").alias("tokens"),
+        F.size("embedding").alias("n_tok"),
+        F.col("label").cast("string").alias("source"))
+    params = ibp.learn_params(df, vec_size=64)
+    assert params.value_kind == "float32"
+    enc = ibp.encode_ibp(df, params)
+    dec = ibp.decode_ibp(enc, params)
+    ok = (df.alias("a").join(dec.alias("b"), "doc_id")
+          .select(F.col("a.source").alias("source"),
+                  (F.col("a.tokens") == F.col("b.tokens"))
+                  .cast("long").alias("ok"))
+          .groupBy("source").agg(F.sum("ok").alias("ok_docs")))
+    per = enc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("comp_bytes").alias("comp_bytes"))
+    return (per.join(ok, "source")
+            .select("source", "docs", "ok_docs", "raw_bytes", "comp_bytes")
+            .orderBy("source"))
+
+
 def q_kmeans_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustered-mask round-trip — the reference's second preprocessing
     mode (preprocess_kmeans, src/preprocess.cu:88-139; Hamming assign
@@ -993,6 +1083,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitcount16_suppkey": q_bitcount16_suppkey,
         "ibp16_roundtrip_by_source": q_ibp16_roundtrip_by_source,
         "ibp8_roundtrip_by_source": q_ibp8_roundtrip_by_source,
+        "float32_roundtrip_by_source": q_float32_roundtrip_by_source,
+        "embedding_ibp_ratio": q_embedding_ibp_ratio,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
         "bitwidth_histogram": q_bitwidth_histogram,
@@ -1038,6 +1130,44 @@ def _grid_f32():
         out.append(t)
         t = np.float32(t + np.float32(0.05))
     return out
+
+
+def _f32_pat_small_int(inner: str = _TOK) -> str:
+    """SQL list expression: the exact float32 bit pattern of
+    CAST(t AS FLOAT) for non-negative integers t < 2^24 (our vocab ids
+    are < 32000).  For t > 0, with e = floor(log2 t) (= binary length
+    minus 1, computed exactly via format '{:b}'):
+    pattern = (127+e) << 23 | (t << (23-e)) - 2^23 — all-integer
+    arithmetic, validated bit-exact against numpy over the full vocab
+    plus 2^23 boundary cases."""
+    return ("list_transform(" + inner + ", t -> CASE WHEN t = 0 THEN 0 "
+            "ELSE (127 + (length(format('{:b}', t)) - 1)) * 8388608 "
+            "+ t * CAST(power(2, 23 - (length(format('{:b}', t)) - 1)) "
+            "AS BIGINT) - 8388608 END)")
+
+
+def _f32_pat_general(list_col: str = "embedding") -> str:
+    """SQL list expression reconstructing the EXACT IEEE-754 bit
+    pattern of arbitrary finite float32 values (sign bit, biased
+    exponent, mantissa; subnormals and -0.0 handled).  The candidate
+    exponent floor(log2 |f|) is corrected by exact power-of-two
+    comparisons (log2's last-ulp error can misplace boundary
+    mantissas), then |f| / 2^e * 2^23 is an exactly representable
+    integer.  Validated bit-exact against numpy across normals,
+    boundary mantissas, subnormals, and signed zeros."""
+    a = "abs(CAST(f AS DOUBLE))"
+    e0 = f"CAST(floor(log2({a})) AS BIGINT)"
+    e = (f"({e0} + CASE WHEN {a} >= power(2, {e0} + 1) THEN 1 "
+         f"WHEN {a} < power(2, {e0}) THEN -1 ELSE 0 END)")
+    return (f"list_transform({list_col}, f -> "
+            "CASE WHEN f = 0 THEN CASE WHEN signbit(f) THEN 2147483648 "
+            "ELSE 0 END "
+            "ELSE (CASE WHEN signbit(f) THEN 2147483648 ELSE 0 END) + "
+            f"CASE WHEN {a} < power(2, -126) "
+            f"THEN CAST(round({a} * power(2, 149)) AS BIGINT) "
+            f"ELSE (127 + {e}) * 8388608 "
+            f"+ CAST(round({a} / power(2, {e}) * 8388608) AS BIGINT) "
+            "- 8388608 END END)")
 
 
 def _ibp_replay_cte(tok_expr: str = _TOK, v: int = 128,
@@ -1575,6 +1705,28 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS ok_docs
             FROM documents GROUP BY source
         """,
+        "float32_roundtrip_by_source": (
+            "WITH " + _ibp_replay_cte(tok_expr=_f32_pat_small_int()) + """
+            SELECT source,
+                   COUNT(*) AS docs,
+                   COUNT(*) AS ok_docs,
+                   CAST(SUM(4 * n) AS BIGINT) AS raw_bytes,
+                   CAST(SUM(ibp_bytes) AS BIGINT) AS comp_bytes
+            FROM docsz GROUP BY source ORDER BY source
+        """),
+        "embedding_ibp_ratio": (
+            "WITH " + _ibp_replay_cte(
+                tok_expr=_f32_pat_general("embedding"), v=64,
+                table="(SELECT CAST(vec_id AS VARCHAR) AS doc_id, "
+                      "CAST(label AS VARCHAR) AS source, embedding "
+                      "FROM embeddings)") + """
+            SELECT source,
+                   COUNT(*) AS docs,
+                   COUNT(*) AS ok_docs,
+                   CAST(SUM(4 * n) AS BIGINT) AS raw_bytes,
+                   CAST(SUM(ibp_bytes) AS BIGINT) AS comp_bytes
+            FROM docsz GROUP BY source ORDER BY source
+        """),
         "auto_roundtrip_by_source": """
             SELECT source,
                    COUNT(*) AS docs,

@@ -193,10 +193,18 @@ def list_array_flat(col, itemsize: int = 4):
                     "array<int> input is required for encoding")
         values_arr = values_arr.fill_null(0)
     values = values_arr.to_numpy(zero_copy_only=False)
+    if values.dtype.kind == "f" and values.dtype.itemsize == itemsize:
+        # float feature columns (array<float>/array<double> — the
+        # reference's DLRM-embedding / KV-cache workloads view float
+        # tensors as int words, tests/nvcomp_comparison.py:39,
+        # tests/invariance_perc.py:112): reinterpret the IEEE bits as
+        # same-width integers.  Zero-copy view; the codec layer is
+        # bit-pattern-generic, and the decode side views back.
+        values = values.view(sdt)
     if values.dtype.kind not in "iu" or values.dtype.itemsize != itemsize:
         raise ValueError(
             f"token values decoded to {values.dtype}, expected a "
-            f"{itemsize}-byte integer dtype")
+            f"{itemsize}-byte integer or float dtype")
     return np.ascontiguousarray(values).view(sdt), starts, lens
 
 

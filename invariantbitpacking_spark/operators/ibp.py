@@ -92,6 +92,11 @@ class IbpParams:
     threshold: float | None = None
     saved_bits: int = 0
     num_vecs: int = 0
+    # 'int' | 'float32' | 'float64': float inputs are encoded as their
+    # IEEE bit patterns (same-width integer view) and decoded back to
+    # the original float element type — the reference's float-tensor-
+    # as-int-words practice (tests/nvcomp_comparison.py:39)
+    value_kind: str = "int"
 
     @property
     def item_bytes(self) -> int:
@@ -107,6 +112,7 @@ class IbpParams:
             "saved_bits": int(self.saved_bits),
             "num_vecs": int(self.num_vecs),
             "item_bytes": self.item_bytes,
+            "value_kind": self.value_kind,
             "mask": self.mask.tolist(),
             "bitval": self.bitval.tolist(),
         }
@@ -123,15 +129,20 @@ class IbpParams:
             threshold=d.get("threshold"),
             saved_bits=int(d.get("saved_bits", 0)),
             num_vecs=int(d.get("num_vecs", 0)),
+            value_kind=d.get("value_kind", "int"),
         )
 
 
 def _elem_bytes(df: DataFrame, tokens_col: str) -> int:
     """Element width from the Spark schema: 1 for array<tinyint>, 2 for
-    array<smallint>, 4 for array<int>, 8 for array<bigint> — the full
-    reference element-size dispatch (src/preprocess.cu:25-26, 56-72
-    instantiates int8/int16/int32/ull)."""
-    from pyspark.sql.types import ArrayType, ByteType, LongType, ShortType
+    array<smallint>, 4 for array<int> OR array<float>, 8 for
+    array<bigint> OR array<double> — the full reference element-size
+    dispatch (src/preprocess.cu:25-26, 56-72 instantiates
+    int8/int16/int32/ull; the float widths cover its practice of
+    viewing float tensors as integer words,
+    tests/nvcomp_comparison.py:39 / tests/invariance_perc.py:112)."""
+    from pyspark.sql.types import (ArrayType, ByteType, DoubleType,
+                                   LongType, ShortType)
 
     dt = df.schema[tokens_col].dataType
     if isinstance(dt, ArrayType):
@@ -139,9 +150,23 @@ def _elem_bytes(df: DataFrame, tokens_col: str) -> int:
             return 1
         if isinstance(dt.elementType, ShortType):
             return 2
-        if isinstance(dt.elementType, LongType):
+        if isinstance(dt.elementType, (LongType, DoubleType)):
             return 8
     return 4
+
+
+def _value_kind(df: DataFrame, tokens_col: str) -> str:
+    """'float32' / 'float64' for float element types (encoded via IEEE
+    bit view, decoded back to the same float type), 'int' otherwise."""
+    from pyspark.sql.types import ArrayType, DoubleType, FloatType
+
+    dt = df.schema[tokens_col].dataType
+    if isinstance(dt, ArrayType):
+        if isinstance(dt.elementType, FloatType):
+            return "float32"
+        if isinstance(dt.elementType, DoubleType):
+            return "float64"
+    return "int"
 
 
 # ---------------------------------------------------------------------------
@@ -307,15 +332,18 @@ def learn_params(df: DataFrame, tokens_col: str = "tokens",
     for g in range(len(grid)):
         if saved_by_t[g] > best_saved:
             best_g, best_saved = g, int(saved_by_t[g])
+    vk = _value_kind(df, tokens_col)
     if best_g is None:
         z = np.zeros(vec_size, udt)
-        return IbpParams(z, z.copy(), vec_size, None, 0, num_vecs)
+        return IbpParams(z, z.copy(), vec_size, None, 0, num_vecs,
+                         value_kind=vk)
     if eval_sample_fraction is not None and eval_sample_fraction < 1.0:
         # saved_bits is lineage provenance; scale the sampled sum back
         # to a corpus-level estimate
         best_saved = int(best_saved / eval_sample_fraction)
     return IbpParams(masks[best_g].copy(), bitvals[best_g].copy(), vec_size,
-                     float(grid[best_g]), best_saved, num_vecs)
+                     float(grid[best_g]), best_saved, num_vecs,
+                     value_kind=vk)
 
 
 # ---------------------------------------------------------------------------
@@ -653,6 +681,11 @@ def decode_ibp(df: DataFrame, params: IbpParams,
     mask, bitval, v = params.mask, params.bitval, params.vec_size
     pa_elem = {1: pa.int8(), 2: pa.int16(), 4: pa.int32(),
                8: pa.int64()}[params.item_bytes]
+    np_out = None
+    if params.value_kind == "float32":
+        pa_elem, np_out = pa.float32(), np.float32
+    elif params.value_kind == "float64":
+        pa_elem, np_out = pa.float64(), np.float64
 
     def decoder(batches) -> "Iterator[pa.RecordBatch]":
         for rb in batches:
@@ -675,6 +708,8 @@ def decode_ibp(df: DataFrame, params: IbpParams,
                     pay_flat, pay_starts, mask, bitval, v)
                 tok_off = np.zeros(n + 1, np.int32)
                 np.cumsum(lens, out=tok_off[1:])
+                if np_out is not None:  # float bit view back
+                    tok_flat = tok_flat.view(np_out)
                 tokens = pa.ListArray.from_arrays(
                     pa.array(tok_off, pa.int32()),
                     pa.array(tok_flat, pa_elem))
@@ -686,6 +721,10 @@ def decode_ibp(df: DataFrame, params: IbpParams,
                     names=["doc_id", "tokens", "n_tok", "source"])
 
     elem = {1: "tinyint", 2: "smallint", 4: "int", 8: "bigint"}[params.item_bytes]
+    if params.value_kind == "float32":
+        elem = "float"
+    elif params.value_kind == "float64":
+        elem = "double"
     schema = f"doc_id string, tokens array<{elem}>, n_tok int, source string"
     return df.select("doc_id", "n_blocks", "block_sizes", "block_flags",
                      "payload", "n_tok", "source").mapInArrow(decoder, schema=schema)

@@ -28,6 +28,7 @@ from ..codecs.bitutil import width_for
 from .framing import (frame_batch, frame_batch_flat, gather_ranges,
                       list_array_flat, split_by_token_mass)
 from .ibp import (ENCODED_SCHEMA, IbpParams, _elem_bytes, _mass_ranges,
+                  _value_kind,
                   binary_array_flat, decode_docs, decode_docs_flat,
                   encode_batch_flat, predict_sizes_ibp)
 
@@ -37,12 +38,16 @@ def _require_int32(df: DataFrame, tokens_col: str, op: str) -> None:
     truncating array<bigint> input would corrupt data, so refuse it
     here — 64-bit elements go through the pure-IBP path (encode_ibp /
     decode_ibp), mirroring the reference's compress dtype dispatch
-    (src/compress.cu:192: 4- or 8-byte, IBP only)."""
+    (src/compress.cu:192: 4- or 8-byte, IBP only).  ``array<float>``
+    passes: its IEEE bit patterns are 32-bit words, and every codec in
+    the family is a bijection on patterns (dict/RLE match patterns;
+    FOR/DFOR arithmetic on the signed int32 view inverts exactly), so
+    float round trips are bit-identical."""
     if _elem_bytes(df, tokens_col) != 4:
         raise ValueError(
-            f"{op}: tokens column must be array<int> — the dict/RLE/FOR "
-            "codec family is 32-bit; use encode_ibp/decode_ibp for "
-            "array<bigint> input")
+            f"{op}: tokens column must be array<int> or array<float> — "
+            "the dict/RLE/FOR codec family is 32-bit; use "
+            "encode_ibp/decode_ibp for array<bigint>/array<double> input")
 
 # raw first so an incompressible document ties (ibp clamps to raw size)
 # resolve to the plain layout; compressible data always beats raw strictly
@@ -358,15 +363,21 @@ def predicted_sizes_by_source(df: DataFrame, params: IbpParams,
     with the whole codec family instead of two baselines.  One scan, no
     encoding."""
     _require_int32(df, tokens_col, "predicted_sizes_by_source")
+    is_float = _value_kind(df, tokens_col) == "float32"
 
     def sizer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def as_i32(a):
+            # float input must be bit-VIEWED, never value-cast
+            return (np.asarray(a, np.float32).view(np.int32) if is_float
+                    else np.asarray(a, np.int32))
+
         for pdf0 in batches:
           for pdf in split_by_token_mass(pdf0, tokens_col):
-            arrays = list(pdf[tokens_col].values)
+            arrays = [as_i32(a) if a is not None else None
+                      for a in pdf[tokens_col].values]
             fb = frame_batch(arrays, params.vec_size)
             starts = np.cumsum(fb.lens) - fb.lens
-            flat = (np.concatenate([np.asarray(a, np.int32) for a in arrays
-                                    if a is not None])
+            flat = (np.concatenate([a for a in arrays if a is not None])
                     if fb.lens.sum() else np.zeros(0, np.int32)).view(np.uint32)
             sizes = predict_sizes(flat, fb.lens, fb, params)
             src = pdf["source"].values
@@ -441,9 +452,13 @@ def decode_auto(df: DataFrame, params: IbpParams,
                                      lens[docs])
                 tok_off = np.zeros(n + 1, np.int32)
                 np.cumsum(lens, out=tok_off[1:])
+                if as_float:  # IEEE bit view back to float32
+                    tokens_vals = pa.array(tok_flat.view(np.float32),
+                                           pa.float32())
+                else:
+                    tokens_vals = pa.array(tok_flat, pa.int32())
                 tokens = pa.ListArray.from_arrays(
-                    pa.array(tok_off, pa.int32()),
-                    pa.array(tok_flat, pa.int32()))
+                    pa.array(tok_off, pa.int32()), tokens_vals)
                 yield pa.RecordBatch.from_arrays(
                     [sl.column(names.index("doc_id")),
                      tokens,
@@ -451,7 +466,9 @@ def decode_auto(df: DataFrame, params: IbpParams,
                      sl.column(names.index("source"))],
                     names=["doc_id", "tokens", "n_tok", "source"])
 
-    schema = "doc_id string, tokens array<int>, n_tok int, source string"
+    as_float = params.value_kind == "float32"
+    elem = "float" if as_float else "int"
+    schema = f"doc_id string, tokens array<{elem}>, n_tok int, source string"
     return df.select("doc_id", "codec", "n_blocks", "block_sizes",
                      "block_flags", "payload", "n_tok", "source"
                      ).mapInArrow(decoder, schema=schema)
