@@ -1024,6 +1024,49 @@ def q_multimodal_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "n_samples int, samp_sum long, sample_rate int")
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG round-trip (stdlib zlib, no media libraries): each
+    document's tokens become an RGB image (16 wide, channels r=t%256,
+    g=t*7%256, b=t*13%256) encoded as an actual PNG with the filter
+    types CYCLING 0..4 per scanline (so None/Sub/Up/Average/Paeth all
+    sit in every file taller than 4 rows), then parsed back by the
+    pure-numpy chunk walk + inflate + per-scanline un-filtering
+    (multimodal.make_png -> _decode_png).  The emitted per-channel
+    pixel sums come from the DECODED raster, so the oracle — which
+    recomputes them straight from the token lists — fails if any
+    chunk parse, filter reconstruction, or channel layout is wrong."""
+    import numpy as np
+    import pandas as pd
+
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    toks = _tokens(spark, sf_dir).filter(F.col("n_tok") >= 16)
+
+    def rt(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "img_w": [], "img_h": [],
+                   "r_sum": [], "g_sum": [], "b_sum": []}
+            for doc_id, arr in zip(pdf["doc_id"], pdf["tokens"]):
+                t = np.asarray(arr, np.int64)
+                h = min(t.size // 16, 40)
+                u = t[:16 * h]
+                px = np.stack([u % 256, u * 7 % 256, u * 13 % 256],
+                              axis=1).astype(np.uint8).reshape(h, 16, 3)
+                png = mm.make_png(16, h, px)  # filters cycle 0..4
+                img, meta = mm.decode_image(png)
+                out["doc_id"].append(doc_id)
+                out["img_w"].append(meta["w"])
+                out["img_h"].append(meta["h"])
+                out["r_sum"].append(int(img[:, :, 0].sum()))
+                out["g_sum"].append(int(img[:, :, 1].sum()))
+                out["b_sum"].append(int(img[:, :, 2].sum()))
+            yield pd.DataFrame(out)
+
+    return toks.select("doc_id", "tokens").mapInPandas(
+        rt, schema="doc_id string, img_w int, img_h int, "
+                   "r_sum long, g_sum long, b_sum long")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling over driver data: each document's text
     bytes become the body of a FAKE video container (w=4, h=2, up to 9
@@ -1108,6 +1151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_featurize": q_multimodal_featurize,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_real": q_multimodal_real,
+        "multimodal_png": q_multimodal_png,
         "fsst_roundtrip": q_fsst_roundtrip,
     }
 
@@ -2185,6 +2229,25 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS samp_sum,
                    CAST(16000 AS INT) AS sample_rate
             FROM t
+        """,
+        "multimodal_png": f"""
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              {_TOK} AS toks
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         LEAST(len(toks) // 16, 40) AS h,
+                         toks[1:16 * LEAST(len(toks) // 16, 40)] AS u
+                  FROM t WHERE len(toks) >= 16)
+            SELECT doc_id,
+                   CAST(16 AS INT) AS img_w,
+                   CAST(h AS INT) AS img_h,
+                   CAST(list_sum(list_transform(u, t -> t % 256))
+                        AS BIGINT) AS r_sum,
+                   CAST(list_sum(list_transform(u, t -> (t * 7) % 256))
+                        AS BIGINT) AS g_sum,
+                   CAST(list_sum(list_transform(u, t -> (t * 13) % 256))
+                        AS BIGINT) AS b_sum
+            FROM c
         """,
         "lang_id": """
             WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,

@@ -5,9 +5,12 @@ to text.  This module provides the Spark-side plumbing — schema,
 deterministic synthesis, Arrow-batched transform signatures, partition
 behavior.  Decoding is REAL for every container parseable with pure
 numpy — uncompressed 24-bit BMP, binary PPM/PGM, and PCM WAV — plus
-the deterministic FAKE container; only codec-bound formats (PNG, JPEG,
-MP3, H.264...) raise ``NotImplementedError``, and swapping that stub
-for Pillow/ffmpeg changes one function body, not the pipeline.
+the deterministic FAKE container; PNG (8-bit gray / gray-alpha / RGB /
+RGBA, all five filter types) decodes for real via stdlib zlib inflate
++ vectorized per-scanline un-filtering; only formats needing a media
+codec (JPEG, MP3, H.264...) raise ``NotImplementedError``, and
+swapping that stub for Pillow/ffmpeg changes one function body, not
+the pipeline.
 
 Fake container format (deterministic, self-describing):
   magic  4B  b"FAKE"
@@ -109,6 +112,146 @@ def make_wav_pcm16(sample_rate: int, samples: np.ndarray,
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CH = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> channels (8-bit)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (PNG spec 9.4), vectorized; inputs int arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def make_png(w: int, h: int, pixels: np.ndarray, color_type: int = 2,
+             filters=None) -> bytes:
+    """Real PNG encoder (stdlib zlib deflate): 8-bit gray (0),
+    RGB (2), gray-alpha (4) or RGBA (6), non-interlaced.  ``pixels``
+    is uint8 of size h*w*channels in raster order.  ``filters`` forces
+    the per-scanline filter type: an int applies to every row, a
+    sequence gives one per row, None cycles 0..4 (so every filter
+    type appears in any image with >= 5 rows — the property tests
+    lean on this).  Filtering is fully vectorized: the predictors
+    read the RECONSTRUCTED neighbors, which the encoder already has."""
+    import zlib
+
+    ch = _PNG_CH[color_type]
+    px = np.asarray(pixels, np.uint8).reshape(h, w * ch)
+    if filters is None:
+        ftypes = [r % 5 for r in range(h)]
+    elif isinstance(filters, int):
+        ftypes = [filters] * h
+    else:
+        ftypes = [int(f) for f in filters]
+    out = np.empty((h, 1 + w * ch), np.uint8)
+    prev = np.zeros(w * ch, np.int64)
+    for r in range(h):
+        raw = px[r].astype(np.int64)
+        a = np.zeros(w * ch, np.int64)
+        a[ch:] = raw[:-ch]
+        c = np.zeros(w * ch, np.int64)
+        c[ch:] = prev[:-ch]
+        ft = ftypes[r]
+        if ft == 0:
+            filt = raw
+        elif ft == 1:
+            filt = raw - a
+        elif ft == 2:
+            filt = raw - prev
+        elif ft == 3:
+            filt = raw - (a + prev) // 2
+        elif ft == 4:
+            filt = raw - _paeth(a, prev, c)
+        else:
+            raise ValueError(f"PNG filter type {ft} out of range")
+        out[r, 0] = ft
+        out[r, 1:] = (filt % 256).astype(np.uint8)
+        prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(out.tobytes()))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png(raw: bytes) -> dict:
+    """PNG decode with stdlib zlib: chunk walk, inflate, per-scanline
+    un-filtering.  Sub rows fall to one per-lane modular cumsum and Up
+    rows to one vector add; Average/Paeth rows walk pixels left to
+    right (the defilter recurrence is inherently sequential in x) with
+    the channel lanes vectorized.  8-bit depth, interlace 0 only —
+    Adam7 and 16-bit rasters still raise."""
+    import zlib
+
+    i, n = 8, len(raw)
+    ihdr, idat = None, []
+    while i + 8 <= n:
+        (clen,), ctype = struct.unpack_from(">I", raw, i), raw[i + 4:i + 8]
+        data = raw[i + 8:i + 8 + clen]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        i += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _PNG_CH \
+            or comp != 0 or filt != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type} "
+            f"interlace={interlace}: only 8-bit non-interlaced "
+            "gray/gray-alpha/RGB/RGBA decode without codec libraries")
+    ch = _PNG_CH[color_type]
+    data = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if data.size != h * (1 + w * ch):
+        raise ValueError("PNG IDAT stream has the wrong length")
+    data = data.reshape(h, 1 + w * ch)
+    recon = np.zeros((h, w * ch), np.int64)
+    prev = np.zeros(w * ch, np.int64)
+    for r in range(h):
+        ft = int(data[r, 0])
+        row = data[r, 1:].astype(np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: per-lane modular prefix sum
+            cur = (np.cumsum(row.reshape(w, ch), axis=0) % 256).reshape(-1)
+        elif ft == 2:  # Up
+            cur = (row + prev) % 256
+        elif ft == 3:  # Average: sequential in x, channel-vectorized
+            cur = np.empty(w * ch, np.int64)
+            a = np.zeros(ch, np.int64)
+            for x in range(w):
+                s = x * ch
+                a = (row[s:s + ch] + (a + prev[s:s + ch]) // 2) % 256
+                cur[s:s + ch] = a
+        elif ft == 4:  # Paeth: sequential in x, channel-vectorized
+            cur = np.empty(w * ch, np.int64)
+            a = np.zeros(ch, np.int64)
+            c = np.zeros(ch, np.int64)
+            for x in range(w):
+                s = x * ch
+                b = prev[s:s + ch]
+                a = (row[s:s + ch] + _paeth(a, b, c)) % 256
+                cur[s:s + ch] = a
+                c = b
+        else:
+            raise ValueError(f"PNG filter type {ft} out of range")
+        recon[r] = cur
+        prev = cur
+    return {"fmt": "png", "kind": "image", "w": w, "h": h, "frames": 1,
+            "sample_rate": 0, "channels": ch,
+            "body": recon.astype(np.uint8).reshape(-1)}
+
+
 # -- real container parsers ------------------------------------------------
 
 
@@ -172,6 +315,8 @@ def parse_container(payload) -> dict:
         return {"fmt": "bmp", "kind": "image", "w": w, "h": h,
                 "frames": 1, "sample_rate": 0,
                 "body": np.ascontiguousarray(rows).reshape(-1)}
+    if raw[:8] == _PNG_SIG:
+        return _decode_png(raw)
     if raw[:2] in (b"P5", b"P6"):
         w, h, off = _parse_pnm(raw)
         ch = 3 if raw[:2] == b"P6" else 1
@@ -201,17 +346,22 @@ def parse_container(payload) -> dict:
                 "bits": bits, "channels": channels}
     raise NotImplementedError(
         "container not parseable without codec libraries (supported: "
-        "FAKE, uncompressed 24-bit BMP, binary PPM/PGM, PCM WAV)")
+        "FAKE, uncompressed 24-bit BMP, binary PPM/PGM, PCM WAV, "
+        "8-bit non-interlaced PNG)")
 
 
 def decode_image(payload) -> tuple:
     """Decode one image container -> (pixel array, meta dict).  BMP and
-    PPM return (h, w, 3); PGM and FAKE images return (h, w)."""
+    PPM return (h, w, 3); PGM and FAKE images return (h, w); PNG
+    returns (h, w) for grayscale, else (h, w, channels)."""
     d = parse_container(payload)
     if d["kind"] != "image":
         raise ValueError(f"not an image container: {d['fmt']}")
-    ch = 3 if d["fmt"] in ("bmp", "ppm") else 1
-    shape = (d["h"], d["w"], 3) if ch == 3 else (d["h"], d["w"])
+    if d["fmt"] == "png":
+        ch = d["channels"]
+    else:
+        ch = 3 if d["fmt"] in ("bmp", "ppm") else 1
+    shape = (d["h"], d["w"]) if ch == 1 else (d["h"], d["w"], ch)
     px = np.asarray(d["body"], np.uint8).reshape(shape)
     if d["fmt"] == "bmp":  # file order is BGR
         px = px[:, :, ::-1]

@@ -80,7 +80,8 @@ class CompressionPipeline:
     def __init__(self, spark: SparkSession, output_dir: str,
                  num_buckets: int = 64, wave_buckets: int = 16,
                  sample_fraction: float | None = 0.1,
-                 allowed=selector.CODEC_ORDER):
+                 allowed=selector.CODEC_ORDER,
+                 bloom_ndv: int | None = 100_000):
         self.spark = spark
         self.output_dir = output_dir
         self.data_dir = _join(output_dir, "encoded")
@@ -94,6 +95,25 @@ class CompressionPipeline:
         self.wave_buckets = wave_buckets
         self.sample_fraction = sample_fraction
         self.allowed = allowed
+        # Parquet bloom filter on the (FSST-encoded) doc_id column of
+        # every BASE data file: fetch()'s pushed IN literal prunes row
+        # groups by doc_id min/max only where the clustered sort helps;
+        # ids that interleave across the sort order still pass min/max
+        # and the bloom filter skips those groups too.  expected_ndv
+        # sizes the filter (~1.2 bytes/key at the parquet default fpp);
+        # set it near the per-bucket document count in production,
+        # None disables.  Delta files skip it (tiny by contract).
+        self.bloom_ndv = bloom_ndv
+
+    def _base_writer(self, df: DataFrame):
+        """Writer for BASE data files, with the doc_id bloom filter
+        options applied (see ``bloom_ndv``)."""
+        w = df.write
+        if self.bloom_ndv:
+            w = (w.option("parquet.bloom.filter.enabled#doc_id", "true")
+                 .option("parquet.bloom.filter.expected.ndv#doc_id",
+                         str(int(self.bloom_ndv))))
+        return w
 
     # -- lineage -----------------------------------------------------------
 
@@ -475,7 +495,7 @@ class CompressionPipeline:
             # output, so a wave retried after a crash between the data
             # write and the lineage append REPLACES its partitions instead
             # of appending duplicate documents.
-            (enc.write.mode("overwrite")
+            (self._base_writer(enc).mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("snapshot_id", "bucket")
              .parquet(self.data_dir))
@@ -682,13 +702,15 @@ class CompressionPipeline:
             stage = _join(stage_root, f"wave{wi}")
             (combined.write.mode("overwrite")
              .partitionBy("snapshot_id", "bucket").parquet(stage))
-            (self.spark.read.option("basePath", stage).parquet(
-                *[_join(stage, f"snapshot_id={snapshot_id}", f"bucket={b}")
-                  for b in wave
-                  if self.fs.exists(_join(stage,
-                                          f"snapshot_id={snapshot_id}",
-                                          f"bucket={b}"))])
-             .write.mode("overwrite")
+            (self._base_writer(
+                self.spark.read.option("basePath", stage).parquet(
+                    *[_join(stage, f"snapshot_id={snapshot_id}",
+                            f"bucket={b}")
+                      for b in wave
+                      if self.fs.exists(_join(stage,
+                                              f"snapshot_id={snapshot_id}",
+                                              f"bucket={b}"))]))
+             .mode("overwrite")
              .option("partitionOverwriteMode", "dynamic")
              .partitionBy("snapshot_id", "bucket")
              .parquet(self.data_dir))
@@ -955,9 +977,9 @@ class CompressionPipeline:
                 if self.fs.exists(_join(stage, f"snapshot_id={snapshot_id}",
                                         f"bucket={b}"))]
             if staged_dirs:
-                (self.spark.read.option("basePath", stage)
-                 .parquet(*staged_dirs)
-                 .write.mode("overwrite")
+                (self._base_writer(self.spark.read.option("basePath", stage)
+                                   .parquet(*staged_dirs))
+                 .mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("snapshot_id", "bucket")
                  .parquet(self.data_dir))
@@ -1074,9 +1096,9 @@ class CompressionPipeline:
                 if self.fs.exists(_join(stage, f"snapshot_id={snapshot_id}",
                                         f"bucket={b}"))]
             if staged_dirs:
-                (self.spark.read.option("basePath", stage)
-                 .parquet(*staged_dirs)
-                 .write.mode("overwrite")
+                (self._base_writer(self.spark.read.option("basePath", stage)
+                                   .parquet(*staged_dirs))
+                 .mode("overwrite")
                  .option("partitionOverwriteMode", "dynamic")
                  .partitionBy("snapshot_id", "bucket")
                  .parquet(self.data_dir))

@@ -201,3 +201,39 @@ def test_pnm_roundtrip_property(w, h, color, seed):
         px = rng.integers(0, 256, (h, w)).astype(np.uint8)
         img, _ = mm.decode_image(mm.make_pgm(w, h, px))
     np.testing.assert_array_equal(img, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=24),
+       st.sampled_from([0, 2, 4, 6]),
+       st.sampled_from([None, 0, 1, 2, 3, 4]),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_roundtrip_property(w, h, color_type, filt, seed):
+    """Real PNG (stdlib zlib) round-trips bit-identically across every
+    color type (gray/gray-alpha/RGB/RGBA), every forced filter type
+    (None cycles 0..4, so tall images hit all five), and arbitrary
+    dims."""
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+    img, meta = mm.decode_image(
+        mm.make_png(w, h, px, color_type=color_type, filters=filt))
+    assert (meta["w"], meta["h"]) == (w, h)
+    got = img.reshape(h, w, ch) if ch > 1 else img.reshape(h, w, 1)
+    np.testing.assert_array_equal(got, px)
+
+
+def test_png_16bit_and_interlace_raise():
+    import struct, zlib
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    # patch a valid file's IHDR to depth 16 / interlace 1
+    px = np.zeros((2, 2, 3), np.uint8)
+    raw = bytearray(mm.make_png(2, 2, px))
+    raw[24] = 16  # bit depth byte of IHDR
+    import pytest
+    with pytest.raises(NotImplementedError, match="depth=16"):
+        mm.parse_container(bytes(raw))
