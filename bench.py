@@ -180,6 +180,40 @@ def main() -> None:
     timed("q6_documents_flagship", run_flagship)
     doc_toks.unpersist()
 
+    # q7: FSST string columns (functions/strings.py): learn the symbol
+    # table on a sample, encode doc_id+source for the whole corpus,
+    # decode back — the string half of every durable snapshot write.
+    from invariantbitpacking_spark.functions import strings as fstr
+
+    table = fstr.learn_table_df(toks, ("doc_id", "source"))
+    sids = toks.select("doc_id", "source")
+    fstr.encode_string_cols(sids, table, ("doc_id", "source")).count()  # warm
+
+    def run_fsst():
+        enc_s = fstr.encode_string_cols(sids, table, ("doc_id", "source"))
+        dec_s = fstr.decode_string_cols(enc_s, table, ("doc_id", "source"))
+        return dec_s.agg(F.sum(F.length("doc_id")),
+                         F.count(F.lit(1))).collect()[0]
+
+    s_bytes, s_rows = timed("q7_fsst_strings", run_fsst)
+    extras["fsst_rows_per_sec"] = round(s_rows / timings["q7_fsst_strings"], 1)
+
+    # q8: streaming windowed aggregation (streaming/windowed_stats.py):
+    # the batch twin of the watermarked stream (identical _agg plan) over
+    # the sf dir's events table — the per-round number for the streaming
+    # module family (exactly-once paths stay pytest-gated).
+    from invariantbitpacking_spark.streaming.windowed_stats import (
+        windowed_stats_batch)
+
+    events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    windowed_stats_batch(events).count()  # warm
+
+    def run_window():
+        return windowed_stats_batch(events).count()
+
+    w_rows = timed("q8_stream_window", run_window)
+    extras["stream_window_rows"] = int(w_rows)
+
     # external-codec size comparison (reference Tables 1-2 role,
     # src/compress_test.cu:125-137: IBP ratio vs nvComp LZ4/Snappy/Zstd
     # etc.): the same tokens column written as parquet with each

@@ -50,7 +50,7 @@ def test_real_bmp_roundtrip_with_padding():
     rng = np.random.default_rng(5)
     for w, h in [(16, 4), (7, 9), (1, 1), (5, 3), (3, 0)]:
         px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
-        bmp = mm.make_bmp24(w, h, px[:, :, ::-1])  # file order is BGR
+        bmp = mm.make_bmp24(w, h, px)  # RGB in; builder writes BGR
         img, meta = mm.decode_image(bmp)
         assert meta["fmt"] == "bmp" and img.shape == (h, w, 3)
         assert np.array_equal(img, px)
@@ -98,9 +98,13 @@ def test_codec_bound_formats_still_raise():
     from invariantbitpacking_spark.functions import multimodal as mm
 
     with _pytest.raises(NotImplementedError, match="codec"):
-        mm.parse_container(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        mm.parse_container(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
     with _pytest.raises(NotImplementedError, match="codec"):
         mm.decode_image(b"BM" + b"\x00" * 60)  # bpp 0 => not BI_RGB 24
+    # PNG decodes for real now; a truncated file fails loudly, not as
+    # a codec gap
+    with _pytest.raises(ValueError, match="IHDR/IDAT"):
+        mm.parse_container(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
 
 
 def test_featurize_mixed_real_and_fake_containers(spark):
