@@ -155,3 +155,59 @@ def run_incremental_ingest(spark: SparkSession, input_path: str,
     q = start_ingest_stream(spark, input_path, pipe, snapshot_id,
                             checkpoint_path, available_now=True)
     q.awaitTermination()
+
+
+DELETE_DDL = "doc_id string"
+
+
+def start_delete_stream(spark: SparkSession, input_path: str,
+                        pipe, snapshot_id: str, checkpoint_path: str,
+                        available_now: bool = True,
+                        compact_every: int | None = None
+                        ) -> StreamingQuery:
+    """Streaming DELETION from a living snapshot — the GDPR half of
+    the ingest stream: files of ``doc_id`` rows landing under
+    ``input_path`` (an erasure-request queue) tombstone-delete their
+    documents per micro-batch via
+    :meth:`plans.pipeline.CompressionPipeline.delete`, each batch
+    O(delta): marker rows in the delta tree plus a superseding
+    lineage commit; no base bucket is rewritten on the request path.
+
+    Delivery semantics mirror the ingest stream: the checkpoint makes
+    batches at-least-once at the sink, and tombstone deletes are
+    idempotent — a replayed batch finds its victims already absent
+    from the resolved view and writes nothing (a batch replayed after
+    a crash BETWEEN marker write and lineage commit first purges its
+    own orphan markers, then re-applies) — so the table state is
+    exactly-once and ``verify_checksums`` stays green after every
+    batch.  ``compact_every=N`` physically erases the tombstoned
+    payloads after every N non-empty batches — the retention cadence
+    an erasure-request queue needs (markers hide documents
+    immediately; bytes leave the base at the next compaction)."""
+    reader = spark.readStream.schema(DELETE_DDL)
+    stream = reader.parquet(input_path)
+    seen = {"batches": 0}
+
+    def _sink(batch_df, _batch_id):
+        if not batch_df.isEmpty():
+            pipe.delete(batch_df, snapshot_id)  # strategy="tombstone"
+            seen["batches"] += 1
+            if compact_every and seen["batches"] % compact_every == 0:
+                pipe.compact(snapshot_id)
+                pipe.compact_lineage()
+
+    writer = (stream.writeStream.foreachBatch(_sink)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_incremental_delete(spark: SparkSession, input_path: str,
+                           pipe, snapshot_id: str,
+                           checkpoint_path: str) -> None:
+    """Apply every pending erasure request under ``input_path`` once
+    and stop (AvailableNow)."""
+    q = start_delete_stream(spark, input_path, pipe, snapshot_id,
+                            checkpoint_path, available_now=True)
+    q.awaitTermination()

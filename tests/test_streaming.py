@@ -149,3 +149,55 @@ def test_streaming_ingest_with_auto_compaction(spark, tmp_path, tokens_df):
     assert pipe.verify_checksums("live") == 0
     params = pipe.load_or_learn_params(sub, "live")
     assert pipe.verify_roundtrip(sub.unionByName(d), params, "live") == 0
+
+
+def test_streaming_delete_from_pipeline_snapshot(spark, tmp_path, tokens_df):
+    """Erasure-request files tombstone-delete per micro-batch; replay
+    from the same checkpoint is a no-op; compact_every physically
+    erases; checksums stay green throughout (the GDPR half of the
+    living-snapshot stream pair)."""
+    from pyspark.sql import functions as F
+
+    from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+    from invariantbitpacking_spark.streaming.encode_stream import (
+        run_incremental_delete, start_delete_stream)
+
+    out = str(tmp_path / "pipe")
+    pipe = CompressionPipeline(spark, out, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(100)
+    pipe.run(sub, "live")
+    n0 = sub.count()
+    victims = [r["doc_id"] for r in
+               sub.select("doc_id").orderBy("doc_id").limit(6).collect()]
+
+    inbox = str(tmp_path / "erasure_inbox")
+    ckpt = str(tmp_path / "ckpt_del")
+    spark.createDataFrame([(v,) for v in victims[:4]], "doc_id string") \
+        .write.mode("append").parquet(inbox)
+    run_incremental_delete(spark, inbox, pipe, "live", ckpt)
+    enc = pipe.read_encoded("live")
+    assert enc.count() == n0 - 4
+    assert enc.filter(F.col("doc_id").isin(victims[:4])).count() == 0
+    assert pipe.verify_checksums("live") == 0
+
+    # replay with no new files: checkpoint skips everything
+    run_incremental_delete(spark, inbox, pipe, "live", ckpt)
+    assert pipe.read_encoded("live").count() == n0 - 4
+
+    # second landing (includes an already-deleted id + a ghost id),
+    # draining through auto-compaction: markers become physical erasure
+    spark.createDataFrame(
+        [(victims[4],), (victims[0],), ("ghost-x",), (victims[5],)],
+        "doc_id string").write.mode("append").parquet(inbox)
+    q = start_delete_stream(spark, inbox, pipe, "live", ckpt,
+                            compact_every=1)
+    q.awaitTermination()
+    assert pipe._delta_buckets("live") == []  # compacted away
+    enc = pipe.read_encoded("live")
+    assert enc.count() == n0 - 6
+    assert enc.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert pipe.verify_checksums("live") == 0
+    params = pipe.load_or_learn_params(sub, "live")
+    remaining = sub.filter(~F.col("doc_id").isin(victims))
+    assert pipe.verify_roundtrip(remaining, params, "live") == 0
