@@ -54,6 +54,16 @@ LINEAGE_SCHEMA = (
     "commit_seq long"
 )
 
+# Decoded-shape schema of an encoded table with ZERO stored rows (a
+# fully-deleted-then-compacted snapshot): read_encoded returns this
+# empty frame instead of failing schema inference on missing files.
+EMPTY_READ_SCHEMA = (
+    "doc_id string, source string, n_tok int, n_blocks int, "
+    "block_sizes array<int>, block_flags binary, payload binary, "
+    "comp_bytes long, raw_bytes long, codec string, "
+    "snapshot_id string, bucket int"
+)
+
 # Sentinel codec of a DELETE marker row in the delta tree: it wins
 # latest-wins resolution like any delta row but is filtered from every
 # resolved view, so the document reads as gone while the base bucket
@@ -1224,7 +1234,19 @@ class CompressionPipeline:
         deltas are replaced by the latest delta rows."""
         if as_of_seq is not None and snapshot_id is None:
             raise ValueError("read_encoded: as_of_seq needs a snapshot_id")
-        df = self._resolved(snapshot_id, as_of_seq=as_of_seq)
+        try:
+            df = self._resolved(snapshot_id, as_of_seq=as_of_seq)
+        except ValueError:
+            # a COMMITTED snapshot can legitimately hold zero rows
+            # (every document tombstone-deleted, then compacted: all
+            # bucket dirs dropped).  That is an empty table, not an
+            # error — raising here broke the delete-everything
+            # lifecycle.  With no lineage either, the path truly holds
+            # nothing and the error stands.
+            if (snapshot_id is None
+                    or not self.committed_buckets(snapshot_id)):
+                raise
+            return self.spark.createDataFrame([], EMPTY_READ_SCHEMA)
         if "row_xxh" in df.columns:
             df = df.drop("row_xxh")
         enc_cols = tuple(
@@ -1290,18 +1312,14 @@ class CompressionPipeline:
         store-side gather for consumers that ship blobs onward."""
         from ..operators import selector
 
+        from ..functions.hashing import bucket_of
+
         ids = [str(i) for i in ids]
         nb = self.num_buckets
-        id_df = self.spark.createDataFrame([(i,) for i in ids],
-                                           "doc_id string")
-        if ids:
-            pairs = (id_df.withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
-                .select("bucket").distinct().collect())
-            buckets = sorted(r["bucket"] for r in pairs)
-        else:
-            buckets = []
+        # bucket salt computed DRIVER-side (pure-Python XXH64, pinned
+        # bit-equal to Spark's xxhash64) — a point lookup should not
+        # pay a scheduler round-trip just to hash ten strings
+        buckets = sorted({bucket_of(i, nb) for i in ids})
         paths = self._wave_paths(snapshot_id, buckets)
         params = self._load_params(snapshot_id)
         if not paths and not self._delta_paths(snapshot_id, buckets):
@@ -1327,7 +1345,8 @@ class CompressionPipeline:
                         if is_binary and table is not None else ids)
             hits = enc.filter(F.col("doc_id").isin(key_vals))
         else:
-            keys = id_df
+            keys = self.spark.createDataFrame([(i,) for i in ids],
+                                              "doc_id string")
             if table is not None and is_binary:
                 keys = fstr.encode_string_cols(keys, table, ("doc_id",))
             hits = enc.join(F.broadcast(keys), "doc_id", "left_semi")
@@ -1349,7 +1368,13 @@ class CompressionPipeline:
         bytes themselves (a deep check — the persisted row_xxh column
         is deliberately not trusted here), so it also validates the
         incremental checksum math of delta commits."""
-        enc = self._resolved(snapshot_id)
+        try:
+            enc = self._resolved(snapshot_id)
+        except ValueError:
+            # zero stored rows (fully-deleted snapshot): intact iff
+            # lineage agrees nothing should be there
+            return (self.latest_lineage(snapshot_id)
+                    .filter(F.col("docs") > 0).count())
         got = enc.groupBy("bucket").agg(
             F.expr("bit_xor(xxhash64(payload))").alias("xxh"))
         # latest commit per bucket: appends supersede earlier rows

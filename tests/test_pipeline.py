@@ -516,7 +516,9 @@ def test_compact_folds_deltas_into_base(spark, tokens_df, outdir):
 
 def test_delete_compacts_pending_deltas_first(spark, tokens_df, outdir):
     """delete() of a document that lives only in a DELTA file must
-    erase it (deltas are folded into the base before the rewrite)."""
+    erase it (default tombstone strategy: a higher-seq marker
+    supersedes the delta row; the erasure strategy folds deltas into
+    the base before its rewrite)."""
     pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
                                sample_fraction=None)
     sub = tokens_df.limit(120)

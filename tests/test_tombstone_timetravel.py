@@ -166,3 +166,28 @@ def test_time_travel_upsert_and_delete(spark, tokens_df, outdir):
     # read returns the CURRENT (compacted) state for those buckets
     pipe.compact("snapTT")
     assert pipe.fetch([target], "snapTT", as_of_seq=seq0).count() == 0
+
+
+def test_delete_everything_then_compact_empty_snapshot(
+        spark, tokens_df, outdir):
+    """Tombstoning EVERY document and compacting leaves a committed,
+    EMPTY snapshot: reads return zero rows (not a schema-inference
+    error over missing files) and the checksum audit reports intact."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(30)
+    pipe.run(sub, "snapE")
+    pipe.delete(sub.select("doc_id"), "snapE")
+    assert pipe.read_encoded("snapE").count() == 0
+    assert pipe.verify_checksums("snapE") == 0
+    pipe.compact("snapE")
+    assert pipe.read_encoded("snapE").count() == 0
+    assert pipe.verify_checksums("snapE") == 0
+    assert pipe.fetch(["anything"], "snapE").count() == 0
+    # resurrect the snapshot with an append: committed buckets exist,
+    # so the guard allows it, and the table works again
+    delta = spark.createDataFrame([("re-1", [1, 2, 3], 3, "web")],
+                                  DELTA_DDL)
+    pipe.append(delta, "snapE")
+    assert pipe.read_encoded("snapE").count() == 1
+    assert pipe.verify_checksums("snapE") == 0
