@@ -576,6 +576,32 @@ def q_float32_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             .orderBy("source"))
 
 
+def q_float64_roundtrip_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<double> through the pure-IBP 64-bit path (the reference's
+    float64 bit-view tests, tests/compress_test.py:30-33): tokens cast
+    to double, encoded via the int64 bit view, decoded back to double
+    bit-identically.  Count-style oracle like the int64 twin (the
+    64-bit size replay would need HUGEINT arithmetic; the float32 pair
+    carries the full-replay burden for the float path)."""
+    from invariantbitpacking_spark.operators import ibp
+
+    t = _tokens(spark, sf_dir)
+    ft = t.select(
+        "doc_id",
+        F.transform("tokens", lambda x: x.cast("double")).alias("tokens"),
+        "n_tok", "source")
+    params = ibp.learn_params(ft)
+    assert params.value_kind == "float64" and params.item_bytes == 8
+    dec = ibp.decode_ibp(ibp.encode_ibp(ft, params), params)
+    joined = (ft.alias("a").join(dec.alias("b"), "doc_id")
+              .select(F.col("a.source").alias("source"),
+                      (F.col("a.tokens") == F.col("b.tokens"))
+                      .cast("long").alias("ok")))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ok").alias("ok_docs"))
+
+
 def q_embedding_ibp_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ANN suite's real embedding column (array<float>, dim 64)
     through the IBP path: learn on the embeddings' bit patterns with
@@ -1127,6 +1153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ibp16_roundtrip_by_source": q_ibp16_roundtrip_by_source,
         "ibp8_roundtrip_by_source": q_ibp8_roundtrip_by_source,
         "float32_roundtrip_by_source": q_float32_roundtrip_by_source,
+        "float64_roundtrip_by_source": q_float64_roundtrip_by_source,
         "embedding_ibp_ratio": q_embedding_ibp_ratio,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
@@ -1784,6 +1811,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "ibp64_roundtrip_by_source": """
+            SELECT source,
+                   COUNT(*) AS docs,
+                   COUNT(*) AS ok_docs
+            FROM documents GROUP BY source
+        """,
+        "float64_roundtrip_by_source": """
             SELECT source,
                    COUNT(*) AS docs,
                    COUNT(*) AS ok_docs
