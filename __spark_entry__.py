@@ -392,6 +392,65 @@ def q_gather_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("tokens", -1).alias("tok_last"))
 
 
+def q_time_travel_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TIME TRAVEL through the durable store: build a
+    committed snapshot, then (once — a marker records the pre-mutation
+    commit sequence) UPSERT every doc_id ending in '7' to the constant
+    [1, 2, 3] and tombstone-DELETE every doc_id ending in '3'.  The
+    query fetches all mutated ids AS OF the recorded sequence — the
+    original token arrays must come back bit-identical, with upserts
+    and tombstones invisible — and joins the CURRENT state (upserted
+    rows read [1,2,3]; deleted rows are gone).  Every output cell is
+    SQL-predictable: as-of values replay the tokenizer, current-state
+    values follow from the mutation rule."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+
+    toks = _tokens(spark, sf_dir)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    out = os.path.join(tempfile.gettempdir(),
+                       f"ibp_ttsnap_{_SNAP_TAG}_{key}")
+    pipe = CompressionPipeline(spark, out, num_buckets=8, wave_buckets=8,
+                               sample_fraction=None)
+    pipe.run(toks, "snapTT")
+    marker = os.path.join(out, "_tt_state.json")
+    up_ids = [r["doc_id"] for r in toks.select("doc_id")
+              .filter(F.col("doc_id").endswith("7")).collect()]
+    del_ids = [r["doc_id"] for r in toks.select("doc_id")
+               .filter(F.col("doc_id").endswith("3")).collect()]
+    if not os.path.exists(marker):
+        seq0 = pipe._snapshot_max_seq("snapTT")
+        delta = spark.createDataFrame(
+            [(i, [1, 2, 3], 3, "mutated") for i in up_ids],
+            "doc_id string, tokens array<int>, n_tok int, source string")
+        pipe.append(delta, "snapTT")
+        ids_df = spark.createDataFrame([(i,) for i in del_ids],
+                                       "doc_id string")
+        pipe.delete(ids_df, "snapTT")
+        with open(marker, "w") as f:
+            json.dump({"seq0": seq0}, f)
+    with open(marker) as f:
+        seq0 = json.load(f)["seq0"]
+    want = sorted(up_ids + del_ids)
+    asof = pipe.fetch(want, "snapTT", as_of_seq=seq0).select(
+        "doc_id",
+        F.col("n_tok").alias("n_tok_asof"),
+        F.element_at("tokens", 1).alias("tok_first_asof"),
+        F.element_at("tokens", -1).alias("tok_last_asof"))
+    now = pipe.fetch(want, "snapTT").select(
+        "doc_id", F.col("n_tok").alias("n_tok_now"))
+    return (asof.join(now, "doc_id", "left")
+            .select("doc_id", "n_tok_asof", "tok_first_asof",
+                    "tok_last_asof",
+                    F.when(F.col("n_tok_now").isNull(), F.lit(0))
+                    .otherwise(F.lit(1)).alias("now_present"),
+                    F.coalesce("n_tok_now", F.lit(-1)).alias("n_tok_now")))
+
+
 def _tokens64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int64 view of the tokens table: each int32 token widened to
     ``(t << 20) + t`` so the high word is populated but keeps invariant
@@ -1141,6 +1200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gather_encode": q_gather_encode,
         "condensed_offsets": q_condensed_offsets,
         "gather_snapshot": q_gather_snapshot,
+        "time_travel_fetch": q_time_travel_fetch,
         "pack_sequences": q_pack_sequences,
         "train_val_split": q_train_val_split,
         "kmeans_roundtrip_by_source": q_kmeans_roundtrip_by_source,
@@ -1991,6 +2051,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(toks[-1] AS INT) AS tok_last
             FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
             WHERE CAST(doc_id AS VARCHAR) LIKE '%42'
+        """,
+        "time_travel_fetch": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   CAST(len(toks) AS INT) AS n_tok_asof,
+                   CAST(toks[1] AS INT) AS tok_first_asof,
+                   CAST(toks[-1] AS INT) AS tok_last_asof,
+                   CASE WHEN CAST(doc_id AS VARCHAR) LIKE '%7'
+                        THEN 1 ELSE 0 END AS now_present,
+                   CASE WHEN CAST(doc_id AS VARCHAR) LIKE '%7'
+                        THEN 3 ELSE -1 END AS n_tok_now
+            FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
+            WHERE CAST(doc_id AS VARCHAR) LIKE '%7'
+               OR CAST(doc_id AS VARCHAR) LIKE '%3'
         """,
         "pack_sequences": f"""
             WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
