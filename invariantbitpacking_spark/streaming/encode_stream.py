@@ -28,14 +28,18 @@ def start_encode_stream(spark: SparkSession, input_path: str,
                         output_path: str, checkpoint_path: str,
                         params: IbpParams,
                         available_now: bool = True,
-                        max_files_per_trigger: int | None = None
+                        max_files_per_trigger: int | None = None,
+                        schema_ddl: str = TOKENS_DDL
                         ) -> StreamingQuery:
     """Start (and return) the streaming encode query.  Callers own
-    ``query.awaitTermination()`` / ``stop()``."""
-    reader = (spark.readStream.schema(TOKENS_DDL)
+    ``query.awaitTermination()`` / ``stop()``.  ``schema_ddl``
+    overrides the input schema for non-int corpora (e.g.
+    ``tokens array<float>`` feature streams — the encoder dispatches
+    on the schema exactly as the batch path does)."""
+    reader = (spark.readStream.schema(schema_ddl)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               if max_files_per_trigger else
-              spark.readStream.schema(TOKENS_DDL))
+              spark.readStream.schema(schema_ddl))
     stream = reader.parquet(input_path)
     enc = selector.encode_auto(stream, params)
     writer = (enc.writeStream
@@ -99,7 +103,8 @@ def start_ingest_stream(spark: SparkSession, input_path: str,
                         pipe, snapshot_id: str, checkpoint_path: str,
                         available_now: bool = True,
                         max_files_per_trigger: int | None = None,
-                        compact_every: int | None = None
+                        compact_every: int | None = None,
+                        schema_ddl: str = TOKENS_DDL
                         ) -> StreamingQuery:
     """Streaming ingest into a LIVING pipeline snapshot: each
     micro-batch of newly-landed token documents upserts bucket-locally
@@ -125,10 +130,10 @@ def start_ingest_stream(spark: SparkSession, input_path: str,
     maintenance cadence a long-lived stream needs; compaction is
     crash-safe and read-transparent, so delivery semantics are
     unchanged."""
-    reader = (spark.readStream.schema(TOKENS_DDL)
+    reader = (spark.readStream.schema(schema_ddl)
               .option("maxFilesPerTrigger", max_files_per_trigger)
               if max_files_per_trigger else
-              spark.readStream.schema(TOKENS_DDL))
+              spark.readStream.schema(schema_ddl))
     stream = reader.parquet(input_path)
     seen = {"batches": 0}
 

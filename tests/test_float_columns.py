@@ -146,3 +146,63 @@ def test_float_exact_integer_values_compress(spark):
     d1 = ibp.decode_ibp(e1, p1)
     a1, b1 = _bitmaps(f1, np.float32), _bitmaps(d1, np.float32)
     assert all(np.array_equal(a1[k], b1[k]) for k in a1)
+
+
+def test_float_corpus_through_durable_pipeline(spark, tmp_path):
+    """The WHOLE living-snapshot stack on an array<float> corpus:
+    run -> checksums -> point fetch (floats back, bit-identical) ->
+    delta upsert -> tombstone delete -> streaming float ingest via the
+    schema_ddl override -> compact.  Proves value_kind flows through
+    persisted params, FSST string columns, delta resolution and the
+    decode-on-fetch path."""
+    from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+    from invariantbitpacking_spark.streaming.encode_stream import (
+        start_ingest_stream)
+
+    df, dtype = _float_df(spark, n=120, seed=3)
+    out = str(tmp_path / "fpipe")
+    pipe = CompressionPipeline(spark, out, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    pipe.run(df, "fsnap")
+    assert pipe.verify_checksums("fsnap") == 0
+    params = pipe._load_params("fsnap")
+    assert params.value_kind == "float32"
+    # point fetch decodes back to float, bit-identical
+    want = [r["doc_id"] for r in
+            df.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    got = pipe.fetch(want, "fsnap")
+    assert got.schema["tokens"].dataType.simpleString() == "array<float>"
+    a = _bitmaps(df.filter(F.col("doc_id").isin(want)), dtype)
+    b = _bitmaps(got, dtype)
+    assert a.keys() == b.keys()
+    assert all(np.array_equal(a[k], b[k]) for k in a)
+    # delta upsert of a float doc
+    delta = spark.createDataFrame(
+        [("f-new", [1.5, -0.0, 2.25], 3, "s0")],
+        "doc_id string, tokens array<float>, n_tok int, source string")
+    pipe.append(delta, "fsnap")
+    nv = pipe.fetch(["f-new"], "fsnap").first()
+    assert np.array_equal(
+        np.array(nv["tokens"], np.float32).view(np.int32),
+        np.array([1.5, -0.0, 2.25], np.float32).view(np.int32))
+    # tombstone delete
+    ids = spark.createDataFrame([(want[0],)], "doc_id string")
+    pipe.delete(ids, "fsnap")
+    assert pipe.fetch([want[0]], "fsnap").count() == 0
+    assert pipe.verify_checksums("fsnap") == 0
+    # streaming float ingest (schema_ddl override)
+    inbox = str(tmp_path / "finbox")
+    ckpt = str(tmp_path / "fckpt")
+    spark.createDataFrame(
+        [(f"fs-{i}", [float(i), float(i) / 4], 2, "fs") for i in range(5)],
+        "doc_id string, tokens array<float>, n_tok int, source string"
+    ).write.mode("append").parquet(inbox)
+    q = start_ingest_stream(
+        spark, inbox, pipe, "fsnap", ckpt,
+        schema_ddl="doc_id string, tokens array<float>, n_tok int, "
+                   "source string")
+    q.awaitTermination()
+    assert pipe.fetch(["fs-3"], "fsnap").first()["tokens"] == [3.0, 0.75]
+    pipe.compact("fsnap")
+    assert pipe.verify_checksums("fsnap") == 0
+    assert pipe.read_encoded("fsnap").count() == 120 - 1 + 1 + 5
