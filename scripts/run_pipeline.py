@@ -49,6 +49,15 @@ def main() -> None:
     ap.add_argument("--append-rows", type=int, default=0,
                     help="after the run, upsert this many synthetic delta "
                          "docs into the snapshot (incremental-ingest drive)")
+    ap.add_argument("--delete-rows", type=int, default=0,
+                    help="after the run (and any append), tombstone-"
+                         "delete this many documents (first N by doc_id "
+                         "order) — the O(delta) erasure drive")
+    ap.add_argument("--delete-strategy", default="tombstone",
+                    choices=("tombstone", "erasure"))
+    ap.add_argument("--as-of", type=int, default=None,
+                    help="also report the row count of the snapshot as "
+                         "of this lineage commit_seq (time travel)")
     ap.add_argument("--verify", action="store_true",
                     help="decode everything afterwards and check identity")
     ap.add_argument("--cleanup-staging", action="store_true",
@@ -96,11 +105,29 @@ def main() -> None:
         out["append_buckets_touched"] = ares.buckets_done
         out["append_wall_sec"] = round(time.perf_counter() - t1, 3)
         toks = toks.unionByName(delta)
+    if args.delete_rows:
+        from pyspark.sql import functions as F
+
+        out["pre_delete_seq"] = pipe._snapshot_max_seq(args.snapshot)
+        victims = (toks.select("doc_id").orderBy("doc_id")
+                   .limit(args.delete_rows))
+        t3 = time.perf_counter()
+        dres = pipe.delete(victims, args.snapshot,
+                           strategy=args.delete_strategy)
+        out["deleted_docs"] = dres.docs
+        out["delete_strategy"] = args.delete_strategy
+        out["delete_wall_sec"] = round(time.perf_counter() - t3, 3)
+        vlist = [r["doc_id"] for r in victims.collect()]
+        toks = toks.filter(~F.col("doc_id").isin(vlist))
     if args.compact:
         t2 = time.perf_counter()
         cres = pipe.compact(args.snapshot)
         out["compact_buckets"] = cres.buckets_done
         out["compact_wall_sec"] = round(time.perf_counter() - t2, 3)
+    if args.as_of is not None:
+        out["as_of_seq"] = args.as_of
+        out["as_of_rows"] = pipe.read_encoded(
+            args.snapshot, as_of_seq=args.as_of).count()
     if args.verify:
         params = pipe.load_or_learn_params(toks, args.snapshot)
         out["roundtrip_mismatches"] = pipe.verify_roundtrip(toks, params, args.snapshot)

@@ -191,3 +191,45 @@ def test_delete_everything_then_compact_empty_snapshot(
     pipe.append(delta, "snapE")
     assert pipe.read_encoded("snapE").count() == 1
     assert pipe.verify_checksums("snapE") == 0
+
+
+def test_tombstone_delete_crash_retry_converges(spark, tokens_df, outdir):
+    """A tombstone delete that dies AFTER the marker write but BEFORE
+    the lineage commit leaves orphan markers; replaying the same
+    delete must purge them (snapshot-scoped seq rule) and converge to
+    exact stats — the exactly-once claim behind the streaming erasure
+    queue's at-least-once batches."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    sub = tokens_df.limit(80)
+    pipe.run(sub, "snapDC")
+    n0 = sub.count()
+    victims = [r["doc_id"] for r in
+               sub.select("doc_id").orderBy("doc_id").limit(3).collect()]
+    ids = spark.createDataFrame([(v,) for v in victims], "doc_id string")
+    real_commit = pipe._commit_delta_wave
+    state = {"fail": True}
+
+    def failing_commit(*a, **k):
+        if state["fail"]:
+            state["fail"] = False
+            raise RuntimeError("simulated crash before lineage commit")
+        return real_commit(*a, **k)
+
+    pipe._commit_delta_wave = failing_commit
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.delete(ids, "snapDC")
+    # orphan markers exist; lineage still counts the victims
+    assert pipe._delta_buckets("snapDC")
+    assert pipe.verify_checksums("snapDC") != 0  # detectable window
+    # a FOREIGN commit takes the orphan's seq (the ADVICE crash shape)
+    pipe.run(tokens_df.limit(10), "other")
+    # replay the SAME delete: purge + re-apply, exact convergence
+    res = pipe.delete(ids, "snapDC")
+    assert res.docs == 3
+    enc = pipe.read_encoded("snapDC")
+    assert enc.count() == n0 - 3
+    assert enc.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert pipe.verify_checksums("snapDC") == 0
+    lin = pipe.latest_lineage("snapDC")
+    assert lin.agg(F.sum("docs")).collect()[0][0] == n0 - 3
