@@ -735,3 +735,42 @@ def test_delta_append_crash_retry_converges(spark, tokens_df, outdir):
     dec = selector.decode_auto(enc, params)
     assert list(dec.filter(F.col("doc_id") == upd)
                 .first()["tokens"]) == [42, 43]
+
+
+def test_pipeline_long_document_skew(spark, tokens_df, outdir):
+    """The north rule's long-document tail: one mega-document (500k
+    tokens — 3 orders of magnitude over the corpus median) salts into
+    ONE bucket.  Doc-level salting bounds residual skew to the
+    document's own size (documents are atomic); the run must stay
+    correct end to end — full-block framing for the mega-doc, ragged
+    tails for the rest — with green audits, a bit-identical round
+    trip, and a working point fetch of the mega-doc itself.  The
+    byte-mass sub-batching (split_by_token_mass) is what keeps the
+    mega-doc's framing buffers bounded inside the Python worker."""
+    import numpy as np
+
+    mega_tokens = [int(x) for x in
+                   np.random.default_rng(9).integers(0, 32000, 500_000)]
+    mega = spark.createDataFrame(
+        [("mega-doc-0", mega_tokens, len(mega_tokens), "tail")],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    corpus = tokens_df.limit(200).unionByName(mega)
+    pipe = CompressionPipeline(spark, outdir, num_buckets=8, wave_buckets=4,
+                               sample_fraction=None)
+    res = pipe.run(corpus, "snapSKEW")
+    assert res.docs == 201
+    assert pipe.verify_checksums("snapSKEW") == 0
+    params = pipe.load_or_learn_params(corpus, "snapSKEW")
+    assert pipe.verify_roundtrip(corpus, params, "snapSKEW") == 0
+    got = pipe.fetch(["mega-doc-0"], "snapSKEW").first()
+    assert got["n_tok"] == 500_000
+    assert list(got["tokens"][:5]) == mega_tokens[:5]
+    assert list(got["tokens"][-5:]) == mega_tokens[-5:]
+    # the mega-doc's bucket carries its mass; every OTHER bucket's
+    # token count stays near the median — skew is bounded to the one
+    # atomic document, exactly as the salting design claims
+    lin = pipe.latest_lineage("snapSKEW").collect()
+    from invariantbitpacking_spark.functions.hashing import bucket_of
+    mb = bucket_of("mega-doc-0", 8)
+    others = [int(r["tokens"]) for r in lin if int(r["bucket"]) != mb]
+    assert max(others) < 100_000  # no other bucket absorbed the tail
