@@ -15,9 +15,14 @@ North-rule scale machinery:
 - **Resume**: a rerun anti-joins pending buckets against committed
   lineage rows for the same snapshot and only processes the remainder.
 - **Incremental ingest** (:meth:`CompressionPipeline.append`): a delta
-  upserts/appends into a committed snapshot by rewriting ONLY the
-  buckets its doc_ids salt into; superseding lineage rows keep the
+  upserts into a committed snapshot as O(delta) merge-on-read delta
+  files (or, with ``strategy="rewrite"``, by rewriting only the
+  buckets its doc_ids salt into); superseding lineage rows keep the
   checksum audit exact (latest commit per bucket wins).
+- **Deletion + time travel** (:meth:`delete`, ``as_of_seq``): deletes
+  default to O(delta) tombstone markers resolved latest-wins
+  (physical erasure at :meth:`compact`); reads can rewind to any
+  still-uncompacted lineage commit.
 
 On a real cluster this is launched via ``spark-submit --py-files
 invariantbitpacking_spark.zip run_pipeline.py`` (see scripts/); the
@@ -1309,7 +1314,10 @@ class CompressionPipeline:
 
         ``decode=False`` returns the matching ENCODED rows (payload,
         block_sizes, flags...) with string columns decoded — the
-        store-side gather for consumers that ship blobs onward."""
+        store-side gather for consumers that ship blobs onward.
+        ``as_of_seq`` time-travels the lookup (see
+        :meth:`read_encoded`): upserts and tombstone deletes after
+        that lineage commit are invisible."""
         from ..operators import selector
 
         from ..functions.hashing import bucket_of
