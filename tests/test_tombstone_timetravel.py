@@ -233,3 +233,29 @@ def test_tombstone_delete_crash_retry_converges(spark, tokens_df, outdir):
     assert pipe.verify_checksums("snapDC") == 0
     lin = pipe.latest_lineage("snapDC")
     assert lin.agg(F.sum("docs")).collect()[0][0] == n0 - 3
+
+
+def test_time_travel_multi_version_history(spark, tokens_df, outdir):
+    """Five successive upserts of one document: as_of at each recorded
+    pre-upsert sequence returns exactly that version's tokens —
+    multi-version history is linear and exact until compaction GCs
+    it."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=2, wave_buckets=2,
+                               sample_fraction=None)
+    sub = tokens_df.limit(40)
+    pipe.run(sub, "snapMV")
+    target = sub.select("doc_id").orderBy("doc_id").first()["doc_id"]
+    orig = list(sub.filter(F.col("doc_id") == target).first()["tokens"])
+    seqs = {}
+    for v in range(1, 6):
+        seqs[v] = pipe._snapshot_max_seq("snapMV")
+        d = spark.createDataFrame(
+            [(target, list(range(v, v + 3)), 3, "w")], DELTA_DDL)
+        pipe.append(d, "snapMV")
+    assert list(pipe.fetch([target], "snapMV").first()["tokens"]) \
+        == [5, 6, 7]
+    for v in range(1, 6):
+        got = list(pipe.fetch([target], "snapMV",
+                              as_of_seq=seqs[v]).first()["tokens"])
+        assert got == (orig if v == 1 else [v - 1, v, v + 1]), (v, got)
+    assert pipe.verify_checksums("snapMV") == 0
