@@ -519,9 +519,30 @@ class CompressionPipeline:
                 for k in totals:
                     totals[k] += int(r[k])
 
+        self._maybe_compact_lineage()
         return PipelineResult(snapshot_id, buckets_run, len(done),
                               totals["docs"], totals["tokens"],
                               totals["raw_bytes"], totals["comp_bytes"])
+
+    # every wave/delta/delete commit appends one small lineage parquet
+    # file; past this many files the next run() folds the history to
+    # latest rows (the stream path has its own compact_every cadence)
+    LINEAGE_COMPACT_FILES = 256
+
+    def _maybe_compact_lineage(self) -> None:
+        """Batch-side lineage maintenance: a long-lived pipeline (many
+        runs/appends/deletes) accumulates one parquet file per commit
+        and every lineage read pays a growing listing.  Fold to latest
+        rows once the file count crosses the threshold — crash-safe
+        (the two-rename swap self-heals on read) and invisible to
+        consumers, who only ever read the newest row per bucket."""
+        try:
+            n = sum(1 for f in self.fs.listdir(self.lineage_dir)
+                    if f.endswith(".parquet"))
+        except Exception:
+            return
+        if n > self.LINEAGE_COMPACT_FILES:
+            self.compact_lineage()
 
     def _commit_wave(self, snapshot_id: str, wave, wall: float) -> list:
         """Wave commit point: read back ONLY the wave's just-written

@@ -774,3 +774,31 @@ def test_pipeline_long_document_skew(spark, tokens_df, outdir):
     mb = bucket_of("mega-doc-0", 8)
     others = [int(r["tokens"]) for r in lin if int(r["bucket"]) != mb]
     assert max(others) < 100_000  # no other bucket absorbed the tail
+
+
+def test_lineage_auto_compaction_on_run(spark, tokens_df, outdir):
+    """run() folds the one-file-per-commit lineage history once it
+    crosses LINEAGE_COMPACT_FILES — latest rows, checksums, and resume
+    state all survive the fold."""
+    import os
+
+    pipe = CompressionPipeline(spark, outdir, num_buckets=2, wave_buckets=1,
+                               sample_fraction=None)
+    pipe.LINEAGE_COMPACT_FILES = 3  # force the threshold down
+    sub = tokens_df.limit(60)
+    pipe.run(sub, "snapLC")  # 2 waves -> 2 lineage files
+    delta = spark.createDataFrame(
+        [(f"lc-{i}", [1, 2, i], 3, "w") for i in range(3)],
+        "doc_id string, tokens array<int>, n_tok int, source string")
+    for i in range(3):  # 3 more commits -> crosses the threshold
+        pipe.append(delta.limit(1), "snapLC")
+    before = {(r["bucket"], r["payload_xxh"], r["docs"]) for r in
+              pipe.latest_lineage("snapLC").collect()}
+    pipe.run(sub, "snapLC")  # no-op run triggers the fold
+    files = [f for f in os.listdir(os.path.join(outdir, "lineage"))
+             if f.endswith(".parquet")]
+    assert len(files) <= 2  # folded to a single latest-rows file
+    after = {(r["bucket"], r["payload_xxh"], r["docs"]) for r in
+             pipe.latest_lineage("snapLC").collect()}
+    assert after == before
+    assert pipe.verify_checksums("snapLC") == 0
