@@ -259,3 +259,29 @@ def test_time_travel_multi_version_history(spark, tokens_df, outdir):
                               as_of_seq=seqs[v]).first()["tokens"])
         assert got == (orig if v == 1 else [v - 1, v, v + 1]), (v, got)
     assert pipe.verify_checksums("snapMV") == 0
+
+
+def test_large_id_fetch_with_tombstones_and_as_of(spark, tokens_df, outdir):
+    """>1024 requested ids forces the broadcast semi-join fetch path;
+    it must honor tombstones (current view) and as_of (historical
+    view) exactly like the literal-IN path."""
+    pipe = CompressionPipeline(spark, outdir, num_buckets=4, wave_buckets=4,
+                               sample_fraction=None)
+    pipe.run(tokens_df, "snapBF")  # 600 docs
+    all_ids = [r["doc_id"] for r in
+               tokens_df.select("doc_id").orderBy("doc_id").collect()]
+    seq0 = pipe._snapshot_max_seq("snapBF")
+    victims = all_ids[:5]
+    pipe.delete(spark.createDataFrame([(v,) for v in victims],
+                                      "doc_id string"), "snapBF")
+    # pad the request past the literal-path bound with ghosts
+    want = all_ids + [f"ghost-{i}" for i in range(600)]  # 1200 > 1024
+    got = {r["doc_id"] for r in pipe.fetch(want, "snapBF").collect()}
+    assert got == set(all_ids) - set(victims)
+    plan = pipe.fetch(want, "snapBF", decode=False)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan  # the broadcast path, not the IN literal
+    # historical view through the same path
+    got0 = {r["doc_id"] for r in
+            pipe.fetch(want, "snapBF", as_of_seq=seq0).collect()}
+    assert got0 == set(all_ids)
