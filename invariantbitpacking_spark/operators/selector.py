@@ -401,6 +401,17 @@ def predicted_sizes_by_source(df: DataFrame, params: IbpParams,
                  F.sum("docs").alias("docs")))
 
 
+def decoded_schema(params: IbpParams) -> str:
+    """DDL schema of :func:`decode_auto`'s output for these params —
+    the single source of truth, shared with the pipeline's empty-fetch
+    short-circuit so a zero-row frame unions cleanly with a decoded
+    one (float corpora decode to ``array<float>``, not the int
+    default)."""
+    elem = "float" if params.value_kind == "float32" else "int"
+    return (f"doc_id string, tokens array<{elem}>, n_tok int, "
+            "source string")
+
+
 def decode_auto(df: DataFrame, params: IbpParams,
                 max_batch_tokens: int | None = None) -> DataFrame:
     """Decode a mixed-codec encoded table (inverse of encode_auto).
@@ -411,6 +422,7 @@ def decode_auto(df: DataFrame, params: IbpParams,
     import pyarrow as pa
 
     mask, bitval, v = params.mask, params.bitval, params.vec_size
+    as_float = params.value_kind == "float32"
 
     def decoder(batches) -> "Iterator[pa.RecordBatch]":
         for rb in batches:
@@ -469,9 +481,7 @@ def decode_auto(df: DataFrame, params: IbpParams,
                      sl.column(names.index("source"))],
                     names=["doc_id", "tokens", "n_tok", "source"])
 
-    as_float = params.value_kind == "float32"
-    elem = "float" if as_float else "int"
-    schema = f"doc_id string, tokens array<{elem}>, n_tok int, source string"
+    schema = decoded_schema(params)
     return df.select("doc_id", "codec", "n_blocks", "block_sizes",
                      "block_flags", "payload", "n_tok", "source"
                      ).mapInArrow(decoder, schema=schema)

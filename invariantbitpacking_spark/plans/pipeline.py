@@ -52,6 +52,44 @@ def _join(*parts: str) -> str:
     return "/".join([parts[0].rstrip("/")] +
                     [p.strip("/") for p in parts[1:]])
 
+
+def _float_bits_view(df: DataFrame, itemsize: int) -> DataFrame:
+    """``tokens array<float|double>`` reinterpreted as its IEEE-754
+    integer bit view (``array<int|bigint>``), doc_id/n_tok preserved.
+
+    The round-trip audit of a float snapshot compares on THIS view:
+    Spark's value equality is NaN-safe (NaN = NaN holds) but it
+    conflates -0.0 with 0.0 and all NaN payload bits — weaker than the
+    bit-identical guarantee the codec makes, and the bit view is
+    exactly what the encoder packed anyway.  One zero-copy mapInArrow
+    pass, no per-row Python."""
+    import numpy as np
+    import pyarrow as pa
+
+    from ..operators.framing import gather_ranges, list_array_flat
+
+    elem = "bigint" if itemsize == 8 else "int"
+    pa_elem = pa.int64() if itemsize == 8 else pa.int32()
+
+    def view(batches):
+        for rb in batches:
+            names = rb.schema.names
+            vals, starts, lens = list_array_flat(
+                rb.column(names.index("tokens")), itemsize)
+            flat = gather_ranges(vals, starts, lens)
+            off = np.zeros(len(lens) + 1, np.int32)
+            np.cumsum(lens, out=off[1:])
+            toks = pa.ListArray.from_arrays(
+                pa.array(off, pa.int32()), pa.array(flat, pa_elem))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(names.index("doc_id")), toks,
+                 rb.column(names.index("n_tok"))],
+                names=["doc_id", "tokens", "n_tok"])
+
+    return (df.select("doc_id", "tokens", "n_tok")
+            .mapInArrow(view, schema=("doc_id string, tokens "
+                                      f"array<{elem}>, n_tok int")))
+
 LINEAGE_SCHEMA = (
     "snapshot_id string, bucket int, status string, docs long, "
     "tokens long, raw_bytes long, comp_bytes long, codec_mix string, "
@@ -698,10 +736,16 @@ class CompressionPipeline:
         if strategy == "delta":
             return self._append_delta(salted, snapshot_id, params,
                                       fsst_table, affected)
-        # -- rewrite strategy: fold any pending deltas into the base
-        # first so the bucket rewrite sees ONE physical copy (a rewrite
-        # that ignored live delta files would be silently superseded by
-        # them at read time)
+        # -- rewrite strategy: purge crash orphans FIRST — this path's
+        # _commit_wave advances the snapshot's lineage max commit_seq,
+        # so an orphan delta from an append that died before its
+        # lineage commit would otherwise end up at seq <= max forever
+        # (readable as phantom committed rows, invisible to every later
+        # purge).  Then fold pending deltas into the base so the bucket
+        # rewrite sees ONE physical copy (a rewrite that ignored live
+        # delta files would be silently superseded by them at read
+        # time).
+        self._purge_orphan_deltas(snapshot_id)
         delta_b = sorted(set(self._delta_buckets(snapshot_id))
                          & set(affected))
         if delta_b:
@@ -1098,6 +1142,11 @@ class CompressionPipeline:
         if strategy == "tombstone":
             return self._delete_tombstone(salted, snapshot_id,
                                           fsst_table, affected)
+        # Purge crash orphans unconditionally before the erasure
+        # rewrite: its _commit_wave advances the lineage max
+        # commit_seq, which would legitimize any orphan delta sitting
+        # above the old max (same hazard as append's rewrite path).
+        self._purge_orphan_deltas(snapshot_id)
         # merge-on-read: fold affected buckets' deltas into the base
         # first so erasure rewrites the ONE physical copy (delta rows
         # left behind would resurrect deleted documents at read time)
@@ -1352,11 +1401,16 @@ class CompressionPipeline:
         paths = self._wave_paths(snapshot_id, buckets)
         params = self._load_params(snapshot_id)
         if not paths and not self._delta_paths(snapshot_id, buckets):
-            # nothing stored in any target bucket
-            empty = self.spark.createDataFrame(
-                [], "doc_id string, tokens array<int>, n_tok int, "
-                    "source string")
-            return empty
+            # Nothing stored in any target bucket.  The empty frame
+            # must carry the SAME schema the non-empty path would
+            # return — the decoded shape for this snapshot's params
+            # (float corpora decode to array<float>), or the encoded
+            # row shape when decode=False — so unions with non-empty
+            # fetches stay well-typed.
+            if not decode:
+                return self.spark.createDataFrame([], EMPTY_READ_SCHEMA)
+            return self.spark.createDataFrame(
+                [], selector.decoded_schema(params))
         enc = self._resolved(snapshot_id, buckets, as_of_seq=as_of_seq)
         if "row_xxh" in enc.columns:
             enc = enc.drop("row_xxh")
@@ -1421,12 +1475,22 @@ class CompressionPipeline:
         mismatch count PLUS the count of source documents missing from
         the table (0 == the corpus is complete and bit-identical).
         The missing half matters for a living snapshot: an inner join
-        alone would silently pass a table that lost documents."""
+        alone would silently pass a table that lost documents.
+
+        Float snapshots compare on the IEEE integer bit view (see
+        :func:`_float_bits_view`): value equality would wave through a
+        0.0 that decoded as -0.0 or a NaN whose payload bits changed —
+        the codec's contract is bit-identity, so the audit's is too."""
         dec = selector.decode_auto(self.read_encoded(snapshot_id), params)
-        bad = (toks.alias("a").join(dec.alias("b"), "doc_id")
+        src = toks
+        if params.value_kind.startswith("float"):
+            isz = 8 if params.value_kind == "float64" else 4
+            src = _float_bits_view(src, isz)
+            dec = _float_bits_view(dec, isz)
+        bad = (src.alias("a").join(dec.alias("b"), "doc_id")
                .filter((F.col("a.tokens") != F.col("b.tokens"))
                        | (F.col("a.n_tok") != F.col("b.n_tok")))
                .count())
-        missing = toks.join(dec.select("doc_id"), "doc_id",
-                            "left_anti").count()
+        missing = src.join(dec.select("doc_id"), "doc_id",
+                           "left_anti").count()
         return bad + missing

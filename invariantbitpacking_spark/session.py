@@ -39,19 +39,44 @@ def get_spark(app_name: str = "invariantbitpacking_spark",
 
 def _ship_package(spark: SparkSession) -> None:
     """Ship this package to executors (the local-mode equivalent of
-    ``spark-submit --py-files``), so UDF closures unpickle anywhere."""
+    ``spark-submit --py-files``), so UDF closures unpickle anywhere.
+
+    The zip name carries a hash of the source contents and the write is
+    temp-file + atomic rename: a fixed mutable path broke CONCURRENT
+    sessions sharing one scratch dir (executor fetch compares its
+    cached copy to the file and fails on "exists and does not match"
+    when another job rewrites it mid-flight).  Content-addressed names
+    make the file immutable once written, so any number of concurrent
+    drivers — same code or different checkouts — coexist."""
+    import hashlib
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    members = []
+    for root, _, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                members.append((full, rel))
+    members.sort(key=lambda m: m[1])
+    h = hashlib.sha256()
+    for full, rel in members:
+        h.update(rel.encode())
+        with open(full, "rb") as fh:
+            h.update(fh.read())
     zip_path = os.path.join(
         os.environ.get("IBP_DATA_DIR", "/tmp/ibp_spark_data"),
-        "invariantbitpacking_spark.zip")
+        f"invariantbitpacking_spark_{h.hexdigest()[:16]}.zip")
     os.makedirs(os.path.dirname(zip_path), exist_ok=True)
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for root, _, files in os.walk(pkg_dir):
-            for f in files:
-                if f.endswith(".py"):
-                    full = os.path.join(root, f)
-                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
-                    zf.write(full, rel)
+    if not os.path.exists(zip_path):
+        tmp = f"{zip_path}.tmp.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for full, rel in members:
+                # pin the archive mtime so identical sources always
+                # produce identical bytes regardless of checkout time
+                zi = zipfile.ZipInfo(rel, date_time=(2020, 1, 1, 0, 0, 0))
+                with open(full, "rb") as fh:
+                    zf.writestr(zi, fh.read())
+        os.replace(tmp, zip_path)
     spark.sparkContext.addPyFile(zip_path)

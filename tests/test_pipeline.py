@@ -802,3 +802,20 @@ def test_lineage_auto_compaction_on_run(spark, tokens_df, outdir):
              pipe.latest_lineage("snapLC").collect()}
     assert after == before
     assert pipe.verify_checksums("snapLC") == 0
+
+
+def test_empty_read_schema_matches_nonempty_path(spark, tokens_df, outdir):
+    """EMPTY_READ_SCHEMA (the fully-deleted-snapshot frame) is a
+    literal, so any column added to the encoded table would silently
+    skew it from the real read_encoded shape (ADVICE r6).  Pin them
+    bit-equal: a committed snapshot's read_encoded schema must match
+    the empty frame field-for-field, name AND type."""
+    from invariantbitpacking_spark.plans.pipeline import EMPTY_READ_SCHEMA
+
+    pipe = CompressionPipeline(spark, outdir, num_buckets=2, wave_buckets=2,
+                               sample_fraction=None)
+    pipe.run(tokens_df.limit(40), "snapES")
+    real = [(f.name, f.dataType) for f in pipe.read_encoded("snapES").schema]
+    empty = [(f.name, f.dataType)
+             for f in spark.createDataFrame([], EMPTY_READ_SCHEMA).schema]
+    assert sorted(real) == sorted(empty)
