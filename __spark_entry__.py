@@ -1152,6 +1152,50 @@ def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "r_sum long, g_sum long, b_sum long")
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG round-trip (pure numpy + stdlib, no media
+    libraries): each document's first min(n_tok, 24) tokens become
+    constant 8x8 grayscale blocks (value t % 256) stacked into an 8
+    px-wide image, encoded as an actual JFIF baseline-sequential JPEG
+    (DCT + quantization + DC-predicted run-length Huffman with byte
+    stuffing) at quality 0, then decoded back by the marker walk +
+    Huffman entropy decode + dequant + vectorized IDCT
+    (multimodal.make_jpeg -> _decode_jpeg).  At quality 0 the quant
+    table is all ones and constant blocks carry integer DC energy
+    only, so the decode is EXACT — the emitted per-document pixel
+    sum/min/max come from the DECODED raster and the oracle recomputes
+    them straight from the token lists; any entropy, zigzag, dequant,
+    or IDCT defect breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    toks = _tokens(spark, sf_dir).filter(F.col("n_tok") >= 1)
+
+    def rt(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "img_w": [], "img_h": [],
+                   "px_sum": [], "px_min": [], "px_max": []}
+            for doc_id, arr in zip(pdf["doc_id"], pdf["tokens"]):
+                t = np.asarray(arr, np.int64)[:24]
+                vals = (t % 256).astype(np.uint8)
+                px = np.repeat(vals, 64).reshape(-1, 8, 8).reshape(-1, 8)
+                jpg = mm.make_jpeg(8, 8 * vals.size, px, quality=0)
+                img, meta = mm.decode_image(jpg)
+                out["doc_id"].append(doc_id)
+                out["img_w"].append(meta["w"])
+                out["img_h"].append(meta["h"])
+                out["px_sum"].append(int(img.astype(np.int64).sum()))
+                out["px_min"].append(int(img.min()))
+                out["px_max"].append(int(img.max()))
+            yield pd.DataFrame(out)
+
+    return toks.select("doc_id", "tokens").mapInPandas(
+        rt, schema="doc_id string, img_w int, img_h int, "
+                   "px_sum long, px_min int, px_max int")
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling over driver data: each document's text
     bytes become the body of a FAKE video container (w=4, h=2, up to 9
@@ -1239,6 +1283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frames": q_multimodal_frames,
         "multimodal_real": q_multimodal_real,
         "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
         "fsst_roundtrip": q_fsst_roundtrip,
     }
 
@@ -2361,6 +2406,21 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS g_sum,
                    CAST(list_sum(list_transform(u, t -> (t * 13) % 256))
                         AS BIGINT) AS b_sum
+            FROM c
+        """,
+        "multimodal_jpeg": f"""
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              {_TOK} AS toks
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         list_transform(toks[1:24], t -> t % 256) AS v
+                  FROM t WHERE len(toks) >= 1)
+            SELECT doc_id,
+                   CAST(8 AS INT) AS img_w,
+                   CAST(8 * len(v) AS INT) AS img_h,
+                   CAST(64 * list_sum(v) AS BIGINT) AS px_sum,
+                   CAST(list_min(v) AS INT) AS px_min,
+                   CAST(list_max(v) AS INT) AS px_max
             FROM c
         """,
         "lang_id": """

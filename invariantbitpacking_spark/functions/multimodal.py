@@ -7,10 +7,13 @@ behavior.  Decoding is REAL for every container parseable with pure
 numpy — uncompressed 24-bit BMP, binary PPM/PGM, and PCM WAV — plus
 the deterministic FAKE container; PNG (8-bit gray / gray-alpha / RGB /
 RGBA, all five filter types) decodes for real via stdlib zlib inflate
-+ vectorized per-scanline un-filtering; only formats needing a media
-codec (JPEG, MP3, H.264...) raise ``NotImplementedError``, and
-swapping that stub for Pillow/ffmpeg changes one function body, not
-the pipeline.
++ vectorized per-scanline un-filtering; baseline-sequential JPEG
+(gray / YCbCr 4:4:4) decodes for real via marker walk + DHT-driven
+Huffman entropy decode + dequant + vectorized float IDCT + color
+conversion; only formats still needing a media codec (progressive
+JPEG, subsampled chroma, MP3, H.264...) raise
+``NotImplementedError``, and swapping those stubs for Pillow/ffmpeg
+changes one function body, not the pipeline.
 
 Fake container format (deterministic, self-describing):
   magic  4B  b"FAKE"
@@ -252,6 +255,398 @@ def _decode_png(raw: bytes) -> dict:
             "body": recon.astype(np.uint8).reshape(-1)}
 
 
+# -- baseline JPEG (pure numpy + stdlib, no media libraries) ---------------
+#
+# Reference analog: none — the reference ships no media codecs; this is
+# the PNG playbook (VERDICT r6 item 5) applied to the most common real
+# image container so binary asset columns carry actual JPEG files
+# through the same mapInArrow plumbing.  Baseline sequential DCT,
+# 8-bit, grayscale or YCbCr 4:4:4 interleaved; progressive (SOF2),
+# subsampled chroma, arithmetic coding and restart intervals raise.
+
+# zigzag scan order: _ZIGZAG[k] = flat (row-major) index of the k-th
+# zigzag position, built by walking the anti-diagonals
+_ZZ_ROWS = []
+for _d in range(15):
+    _rng = range(max(0, _d - 7), min(_d, 7) + 1)
+    _ZZ_ROWS += [(r, _d - r) for r in (_rng if _d % 2 else reversed(_rng))]
+_ZIGZAG = np.array([r * 8 + c for r, c in _ZZ_ROWS], np.int64)
+del _ZZ_ROWS, _d, _rng
+
+# orthonormal 8-point DCT-II matrix: F = D f D^T, f = D^T F D
+_DCT_D = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    _DCT_D[_u] = _c * np.cos((2 * np.arange(8) + 1) * _u * np.pi / 16)
+del _u, _c
+
+
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    """Forward 2-D DCT of (n, 8, 8) float blocks (JPEG normalization)."""
+    return np.einsum("ux,nxy,vy->nuv", _DCT_D, blocks, _DCT_D)
+
+
+def _idct2(coeffs: np.ndarray) -> np.ndarray:
+    """Inverse 2-D DCT of (n, 8, 8) float coefficient blocks."""
+    return np.einsum("ux,nuv,vy->nxy", _DCT_D, coeffs, _DCT_D)
+
+
+def jpeg_quant_table(quality: int = 0) -> np.ndarray:
+    """Deterministic quantization table: all-ones at quality 0 (flat
+    8x8 blocks then round-trip EXACTLY — the oracle query leans on
+    this), a frequency ramp ``1 + (u+v)*quality`` otherwise."""
+    u, v = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    return (1 + (u + v) * quality).astype(np.int64).clip(1, 255)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """JFIF color transform, rounded + clipped to uint8 (h, w, 3)."""
+    r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+    out = np.stack([0.299 * r + 0.587 * g + 0.114 * b,
+                    -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+                    0.5 * r - 0.418688 * g - 0.081312 * b + 128.0], axis=-1)
+    return np.round(out).clip(0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
+    """Inverse JFIF color transform, rounded + clipped to uint8."""
+    y = px[..., 0].astype(np.float64)
+    cb = px[..., 1].astype(np.float64) - 128.0
+    cr = px[..., 2].astype(np.float64) - 128.0
+    out = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.round(out).clip(0, 255).astype(np.uint8)
+
+
+def _plane_to_blocks(plane: np.ndarray) -> tuple:
+    """Edge-replicate a (h, w) plane to 8-multiples and split into
+    (n_blocks, 8, 8) in MCU raster order; returns (blocks, bw)."""
+    h, w = plane.shape
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(plane, ((0, hp - h), (0, wp - w)), mode="edge")
+    blocks = (pad.reshape(hp // 8, 8, wp // 8, 8)
+              .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+    return blocks, wp // 8
+
+
+def _canonical_table(symbols) -> tuple:
+    """Fixed-length canonical Huffman table for ``symbols``: every code
+    has length L = ceil(log2(n+1)), so the all-ones code stays unused
+    (JPEG forbids it).  Original tables written into DHT — any baseline
+    decoder reads them back; compactness is traded for determinism
+    (this codec's job is format correctness, not rate)."""
+    n = len(symbols)
+    ln = max(1, int(np.ceil(np.log2(n + 1))))
+    bits = [0] * 16
+    bits[ln - 1] = n
+    return bits, list(symbols)
+
+
+_DC_SYMBOLS = list(range(12))
+_AC_SYMBOLS = ([0x00, 0xF0]
+               + [(run << 4) | size
+                  for run in range(16) for size in range(1, 11)])
+
+
+def _mag_bits(v: int) -> tuple:
+    """JPEG magnitude category + extra bits for a signed coefficient."""
+    s = int(abs(v)).bit_length()
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int):
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.nbits -= 8
+            self.out.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self):
+        if self.nbits:
+            self.put(0x7F, 8 - self.nbits)  # 1-padding per spec
+
+
+def make_jpeg(w: int, h: int, pixels: np.ndarray, quality: int = 0) -> bytes:
+    """Real baseline-sequential JPEG encoder: level shift, 8x8 float
+    DCT, quantization (``jpeg_quant_table(quality)``), zigzag,
+    DC-prediction + run-length Huffman entropy coding with byte
+    stuffing, full marker structure (SOI/APP0/DQT/SOF0/DHT/SOS/EOI).
+    ``pixels`` is uint8 of size h*w (grayscale, 1 component) or h*w*3
+    (RGB -> YCbCr 4:4:4 interleaved).  At quality 0 the quant table is
+    all ones, so an image of constant 8x8 blocks decodes back
+    EXACTLY — the driver oracle is built on that invariant."""
+    px = np.asarray(pixels, np.uint8)
+    ncomp = 3 if px.size == h * w * 3 else 1
+    if ncomp == 3:
+        planes = _rgb_to_ycbcr(px.reshape(h, w, 3))
+        planes = [planes[:, :, c] for c in range(3)]
+    else:
+        planes = [px.reshape(h, w)]
+    q = jpeg_quant_table(quality)
+    comp_blocks = []
+    for pl in planes:
+        blocks, _ = _plane_to_blocks(pl)
+        coef = _dct2(blocks.astype(np.float64) - 128.0)
+        comp_blocks.append(np.round(coef / q).astype(np.int64))
+    bw_blocks, bh_blocks = -(-w // 8), -(-h // 8)
+
+    dc_bits, dc_vals = _canonical_table(_DC_SYMBOLS)
+    ac_bits, ac_vals = _canonical_table(_AC_SYMBOLS)
+
+    def codes_of(bits, vals):
+        table, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    dc_codes, ac_codes = codes_of(dc_bits, dc_vals), codes_of(ac_bits, ac_vals)
+
+    wr = _BitWriter()
+    prev_dc = [0] * ncomp
+    for mcu in range(bw_blocks * bh_blocks):
+        for c in range(ncomp):
+            zz = comp_blocks[c][mcu].reshape(-1)[_ZIGZAG]
+            s, extra = _mag_bits(int(zz[0]) - prev_dc[c])
+            prev_dc[c] = int(zz[0])
+            code, ln = dc_codes[s]
+            wr.put(code, ln)
+            wr.put(extra, s)
+            last = 0
+            for k in np.flatnonzero(zz[1:]) + 1:
+                run = int(k) - last - 1
+                while run >= 16:
+                    zcode, zln = ac_codes[0xF0]
+                    wr.put(zcode, zln)
+                    run -= 16
+                s, extra = _mag_bits(int(zz[k]))
+                acode, aln = ac_codes[(run << 4) | s]
+                wr.put(acode, aln)
+                wr.put(extra, s)
+                last = int(k)
+            if last != 63:
+                ecode, eln = ac_codes[0x00]
+                wr.put(ecode, eln)
+    wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")                       # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0])                        # DQT, table 0
+               + bytes(q.reshape(-1)[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for c in range(ncomp):
+        sof += bytes([c + 1, 0x11, 0])                 # 1x1 sampling, qt 0
+    out += seg(0xC0, sof)                              # SOF0 baseline
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytes([ncomp])
+    for c in range(ncomp):
+        sos += bytes([c + 1, 0x00])                    # DC table 0, AC 0
+    sos += bytes([0, 63, 0])                           # full spectral scan
+    out += seg(0xDA, sos) + bytes(wr.out)
+    out += b"\xff\xd9"                                 # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """Bit cursor over UNSTUFFED scan bytes with 16-bit Huffman LUT
+    decode: peek up to 16 bits, map through the table's (symbol,
+    length) arrays, advance by length — one dict-free step per symbol."""
+
+    def __init__(self, data: bytes):
+        bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.bits = np.concatenate([bits, np.ones(16, np.uint8)])
+        self.pos = 0
+        self.limit = bits.size
+        self.w = (1 << np.arange(15, -1, -1)).astype(np.int64)
+
+    def peek16(self) -> int:
+        return int(self.bits[self.pos:self.pos + 16] @ self.w)
+
+    def read_huff(self, lut) -> int:
+        sym_a, len_a = lut
+        key = self.peek16()
+        ln = int(len_a[key])
+        if ln == 0 or self.pos >= self.limit:
+            raise ValueError("JPEG scan: invalid Huffman code")
+        self.pos += ln
+        return int(sym_a[key])
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = int(self.bits[self.pos:self.pos + s] @ self.w[16 - s:])
+        self.pos += s
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_lut(bits, vals) -> tuple:
+    """(symbol, length) arrays indexed by a 16-bit peek, built from a
+    DHT segment's canonical (BITS, HUFFVAL) lists."""
+    sym_a = np.full(1 << 16, -1, np.int16)
+    len_a = np.zeros(1 << 16, np.uint8)
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            lo = code << (16 - ln)
+            sym_a[lo:lo + (1 << (16 - ln))] = vals[k]
+            len_a[lo:lo + (1 << (16 - ln))] = ln
+            code += 1
+            k += 1
+        code <<= 1
+    return sym_a, len_a
+
+
+def _decode_jpeg(raw: bytes) -> dict:
+    """Baseline JPEG decode: marker walk, DQT/DHT/SOF0/SOS parse,
+    Huffman entropy decode with byte unstuffing, dequantization,
+    vectorized float IDCT over every block at once, level shift and
+    (for 3 components) YCbCr->RGB.  Grayscale or 4:4:4 only;
+    progressive (SOF2), subsampled chroma, 12-bit precision,
+    arithmetic coding and restart intervals raise
+    ``NotImplementedError`` — swapping in a full codec library
+    changes this function, not the pipeline around it."""
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG stream")
+    i, n = 2, len(raw)
+    qtabs, huffs, frame, scan = {}, {}, None, None
+    while i + 4 <= n:
+        if raw[i] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        m = raw[i + 1]
+        if m == 0xD9:                                  # EOI
+            break
+        (seglen,), body0 = struct.unpack_from(">H", raw, i + 2), i + 4
+        body = raw[body0:i + 2 + seglen]
+        if m == 0xDB:                                  # DQT
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError(
+                        "JPEG 16-bit quantization tables unsupported")
+                zz = np.frombuffer(body, np.uint8, 64, j + 1).astype(
+                    np.int64)
+                q = np.zeros(64, np.int64)
+                q[_ZIGZAG] = zz
+                qtabs[tq] = q.reshape(8, 8)
+                j += 65
+        elif m == 0xC4:                                # DHT
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1:j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17:j + 17 + nv])
+                huffs[(tc, th)] = _huff_lut(bits, vals)
+                j += 17 + nv
+        elif m in (0xC0, 0xC1):                        # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise NotImplementedError("JPEG precision != 8 unsupported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "JPEG subsampled chroma unsupported (4:4:4 only)")
+                comps.append((cid, tq))
+            frame = (fw, fh, comps)
+        elif m == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG unsupported (baseline sequential only)")
+        elif m == 0xDD:                                # DRI
+            if struct.unpack_from(">H", body, 0)[0]:
+                raise NotImplementedError(
+                    "JPEG restart intervals unsupported")
+        elif m == 0xDA:                                # SOS
+            ns = body[0]
+            smap = {body[1 + 2 * c]: (body[2 + 2 * c] >> 4,
+                                      body[2 + 2 * c] & 0x0F)
+                    for c in range(ns)}
+            # scan data runs to the next non-stuffed, non-RST marker
+            j = i + 2 + seglen
+            k = j
+            while k + 1 < n:
+                if raw[k] == 0xFF and raw[k + 1] not in (
+                        0x00, *range(0xD0, 0xD8)):
+                    break
+                k += 1
+            scan = (smap, raw[j:k].replace(b"\xff\x00", b"\xff"))
+            i = k
+            continue
+        i += 2 + seglen
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fw, fh, comps = frame
+    smap, data = scan
+    bw, bh = -(-fw // 8), -(-fh // 8)
+    rd = _BitReader(data)
+    ncomp = len(comps)
+    coefs = [np.zeros((bw * bh, 64), np.int64) for _ in range(ncomp)]
+    prev_dc = [0] * ncomp
+    for mcu in range(bw * bh):
+        for c, (cid, _tq) in enumerate(comps):
+            td, ta = smap[cid]
+            s = rd.read_huff(huffs[(0, td)])
+            prev_dc[c] += rd.receive_extend(s)
+            blk = coefs[c][mcu]
+            blk[0] = prev_dc[c]
+            k = 1
+            while k < 64:
+                rs = rd.read_huff(huffs[(1, ta)])
+                run, size = rs >> 4, rs & 0x0F
+                if size == 0:
+                    if run == 15:                      # ZRL
+                        k += 16
+                        continue
+                    break                              # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient overrun")
+                blk[k] = rd.receive_extend(size)
+                k += 1
+    planes = []
+    for c, (cid, tq) in enumerate(comps):
+        dezz = np.zeros((bw * bh, 64), np.int64)
+        dezz[:, _ZIGZAG] = coefs[c]
+        deq = dezz.reshape(-1, 8, 8) * qtabs[tq]
+        spat = np.round(_idct2(deq.astype(np.float64)) + 128.0)
+        spat = spat.clip(0, 255).astype(np.uint8)
+        plane = (spat.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8))[:fh, :fw]
+        planes.append(plane)
+    if ncomp == 3:
+        body_px = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    elif ncomp == 1:
+        body_px = planes[0]
+    else:
+        raise NotImplementedError(
+            f"JPEG with {ncomp} components unsupported (1 or 3)")
+    return {"fmt": "jpeg", "kind": "image", "w": fw, "h": fh,
+            "frames": 1, "sample_rate": 0, "channels": ncomp,
+            "body": body_px.reshape(-1)}
+
+
 # -- real container parsers ------------------------------------------------
 
 
@@ -317,6 +712,8 @@ def parse_container(payload) -> dict:
                 "body": np.ascontiguousarray(rows).reshape(-1)}
     if raw[:8] == _PNG_SIG:
         return _decode_png(raw)
+    if raw[:2] == b"\xff\xd8":
+        return _decode_jpeg(raw)
     if raw[:2] in (b"P5", b"P6"):
         w, h, off = _parse_pnm(raw)
         ch = 3 if raw[:2] == b"P6" else 1
@@ -357,7 +754,7 @@ def decode_image(payload) -> tuple:
     d = parse_container(payload)
     if d["kind"] != "image":
         raise ValueError(f"not an image container: {d['fmt']}")
-    if d["fmt"] == "png":
+    if d["fmt"] in ("png", "jpeg"):
         ch = d["channels"]
     else:
         ch = 3 if d["fmt"] in ("bmp", "ppm") else 1

@@ -97,14 +97,94 @@ def test_codec_bound_formats_still_raise():
 
     from invariantbitpacking_spark.functions import multimodal as mm
 
+    # MP4/MP3 remain codec-bound
     with _pytest.raises(NotImplementedError, match="codec"):
-        mm.parse_container(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # JPEG
+        mm.parse_container(b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 16)
     with _pytest.raises(NotImplementedError, match="codec"):
         mm.decode_image(b"BM" + b"\x00" * 60)  # bpp 0 => not BI_RGB 24
-    # PNG decodes for real now; a truncated file fails loudly, not as
-    # a codec gap
+    # PNG and JPEG decode for real now; truncated files fail loudly,
+    # not as codec gaps
     with _pytest.raises(ValueError, match="IHDR/IDAT"):
         mm.parse_container(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+    with _pytest.raises(ValueError, match="desync"):
+        mm.parse_container(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+
+
+def _patch_jpeg(raw: bytes, find: bytes, repl: bytes) -> bytes:
+    i = raw.index(find)
+    return raw[:i] + repl + raw[i + len(find):]
+
+
+def test_jpeg_unsupported_features_raise():
+    """The baseline JPEG decoder covers SOF0/1 gray + 4:4:4 and raises
+    a named NotImplementedError for every feature it does not cover —
+    patched real files prove each gate fires before any wrong decode."""
+    import struct
+
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    px = np.zeros((8, 8), np.uint8)
+    base = mm.make_jpeg(8, 8, px)
+
+    with pytest.raises(NotImplementedError, match="progressive"):
+        mm.parse_container(_patch_jpeg(base, b"\xff\xc0", b"\xff\xc2"))
+    # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then cid,hv,tq —
+    # flip hv from 0x11 (1x1) to 0x22 (2x2 subsampled)
+    sof_at = base.index(b"\xff\xc0")
+    patched = bytearray(base)
+    patched[sof_at + 11] = 0x22
+    with pytest.raises(NotImplementedError, match="subsampled"):
+        mm.parse_container(bytes(patched))
+    # DQT precision nibble -> 16-bit tables
+    dqt_at = base.index(b"\xff\xdb")
+    patched = bytearray(base)
+    patched[dqt_at + 4] = 0x10
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        mm.parse_container(bytes(patched))
+    # a DRI segment with a nonzero restart interval before SOS
+    sos_at = base.index(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    with pytest.raises(NotImplementedError, match="restart"):
+        mm.parse_container(base[:sos_at] + dri + base[sos_at:])
+
+
+def test_jpeg_byte_stuffing_in_scan():
+    """High-entropy images produce 0xFF scan bytes, which the writer
+    stuffs with 0x00 and the reader unstuffs; assert a stuffed file
+    actually occurs and decodes within the q0 rounding bound."""
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        px = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+        f = mm.make_jpeg(24, 24, px)
+        if b"\xff\x00" in f[f.index(b"\xff\xda"):]:
+            img, _ = mm.decode_image(f)
+            assert np.abs(img.astype(int) - px.astype(int)).max() <= 1
+            return
+    raise AssertionError("no stuffed scan byte in 30 random files")
+
+
+def test_featurize_batch_with_real_jpeg(spark):
+    """decode_and_featurize's mixed path handles a real JPEG payload:
+    dims come from the SOF header, body bytes are the decoded RGB
+    raster (w*h*3)."""
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(11)
+    tiles = rng.integers(0, 256, (2, 2, 3)).astype(np.uint8)
+    px = np.kron(tiles.transpose(2, 0, 1),
+                 np.ones((8, 8), np.uint8)).transpose(1, 2, 0)
+    jpg = mm.make_jpeg(16, 16, px, quality=0)
+    fake, w, h, fr, sr = mm.make_fake_asset(rng, "image")
+    rows = [("a-jpg", "image", bytearray(jpg), 16, 16, 1, 0),
+            ("a-fake", "image", bytearray(fake), w, h, fr, sr)]
+    assets = spark.createDataFrame(rows, mm.ASSET_DDL).coalesce(1)
+    out = {r["asset_id"]: r for r in
+           mm.decode_and_featurize(assets, feat_dim=8).collect()}
+    assert out["a-jpg"]["decoded_w"] == 16
+    assert out["a-jpg"]["decoded_h"] == 16
+    assert out["a-jpg"]["body_bytes"] == 16 * 16 * 3
 
 
 def test_featurize_mixed_real_and_fake_containers(spark):

@@ -237,3 +237,72 @@ def test_png_16bit_and_interlace_raise():
     import pytest
     with pytest.raises(NotImplementedError, match="depth=16"):
         mm.parse_container(bytes(raw))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_jpeg_const_blocks_exact_property(w, h, seed):
+    """Baseline JPEG at quality 0 (all-ones quant table): an image
+    whose 8x8 tiles are each constant decodes back EXACTLY — constant
+    blocks put all energy in the integer DC coefficient, so dequant +
+    IDCT reproduce every pixel bit-for-bit (the driver oracle's
+    invariant).  Edge replication keeps ragged tiles constant, so
+    arbitrary dims stay exact."""
+    import numpy as np
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    bw, bh = -(-w // 8), -(-h // 8)
+    tiles = rng.integers(0, 256, (bh, bw)).astype(np.uint8)
+    px = np.kron(tiles, np.ones((8, 8), np.uint8))[:h, :w]
+    img, meta = mm.decode_image(mm.make_jpeg(w, h, px, quality=0))
+    assert (meta["w"], meta["h"]) == (w, h)
+    np.testing.assert_array_equal(img, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=32),
+       st.integers(min_value=1, max_value=32),
+       st.sampled_from([1, 3]),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_jpeg_q0_near_lossless_property(w, h, ncomp, seed):
+    """Random noise at quality 0: the only loss is coefficient
+    rounding (plus two YCbCr rounding passes for RGB), so every pixel
+    lands within 1 (gray) / 3 (RGB) of the original — exercises the
+    full entropy path (byte stuffing, EOB, DC prediction) on the
+    worst-case high-entropy input."""
+    import numpy as np
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if ncomp == 1 else (h, w, ncomp)
+    px = rng.integers(0, 256, shape).astype(np.uint8)
+    img, meta = mm.decode_image(mm.make_jpeg(w, h, px, quality=0))
+    assert (meta["w"], meta["h"]) == (w, h)
+    assert img.shape == shape
+    tol = 1 if ncomp == 1 else 3
+    assert np.abs(img.astype(int) - px.astype(int)).max() <= tol
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.sampled_from([1, 2, 4, 8]),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_jpeg_lossy_smooth_bounded_property(quality, seed):
+    """Lossy qualities on a smooth (low-frequency) raster: the ramp
+    quant table zeroes high frequencies — exercising EOB and ZRL runs
+    — while a smooth image has little energy there, so the error stays
+    small (<= quality) and the file shrinks vs quality 0."""
+    import numpy as np
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    xx, yy = np.meshgrid(np.linspace(0, np.pi, 48),
+                         np.linspace(0, np.pi, 32))
+    ph = rng.uniform(0, np.pi)
+    px = (127 + 100 * np.sin(xx + ph) * np.cos(yy)).astype(np.uint8)
+    f = mm.make_jpeg(48, 32, px, quality=quality)
+    img, _ = mm.decode_image(f)
+    assert np.abs(img.astype(int) - px.astype(int)).max() <= max(3, quality)
+    assert len(f) < len(mm.make_jpeg(48, 32, px, quality=0))
