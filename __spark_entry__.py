@@ -415,13 +415,19 @@ def q_time_travel_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.gettempdir(),
                        f"ibp_ttsnap_{_SNAP_TAG}_{key}")
     pipe = CompressionPipeline(spark, out, num_buckets=8, wave_buckets=8,
-                               sample_fraction=None)
+                               sample_fraction=None,
+                               delta_compact_threshold=None)  # keep history
     pipe.run(toks, "snapTT")
     marker = os.path.join(out, "_tt_state.json")
+    # deterministic 40-id caps (sorted doc_id) keep the driver-side
+    # collect O(1) at any scale factor; the oracle applies the same
+    # ORDER BY doc_id LIMIT 40 per mutation class
     up_ids = [r["doc_id"] for r in toks.select("doc_id")
-              .filter(F.col("doc_id").endswith("7")).collect()]
+              .filter(F.col("doc_id").endswith("7"))
+              .sort("doc_id").limit(40).collect()]
     del_ids = [r["doc_id"] for r in toks.select("doc_id")
-               .filter(F.col("doc_id").endswith("3")).collect()]
+               .filter(F.col("doc_id").endswith("3"))
+               .sort("doc_id").limit(40).collect()]
     if not os.path.exists(marker):
         seq0 = pipe._snapshot_max_seq("snapTT")
         delta = spark.createDataFrame(
@@ -2115,8 +2121,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN CAST(doc_id AS VARCHAR) LIKE '%7'
                         THEN 3 ELSE -1 END AS n_tok_now
             FROM (SELECT doc_id, {_TOK} AS toks FROM documents)
-            WHERE CAST(doc_id AS VARCHAR) LIKE '%7'
-               OR CAST(doc_id AS VARCHAR) LIKE '%3'
+            WHERE CAST(doc_id AS VARCHAR) IN (
+                SELECT d FROM (
+                    SELECT CAST(doc_id AS VARCHAR) AS d FROM documents
+                    WHERE CAST(doc_id AS VARCHAR) LIKE '%7'
+                    ORDER BY d LIMIT 40)
+                UNION ALL
+                SELECT d FROM (
+                    SELECT CAST(doc_id AS VARCHAR) AS d FROM documents
+                    WHERE CAST(doc_id AS VARCHAR) LIKE '%3'
+                    ORDER BY d LIMIT 40))
         """,
         "pack_sequences": f"""
             WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,

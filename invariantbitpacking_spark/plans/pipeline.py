@@ -134,7 +134,8 @@ class CompressionPipeline:
                  num_buckets: int = 64, wave_buckets: int = 16,
                  sample_fraction: float | None = 0.1,
                  allowed=selector.CODEC_ORDER,
-                 bloom_ndv: int | None = 100_000):
+                 bloom_ndv: int | None = 100_000,
+                 delta_compact_threshold: int | None = 12):
         self.spark = spark
         self.output_dir = output_dir
         self.data_dir = _join(output_dir, "encoded")
@@ -157,6 +158,15 @@ class CompressionPipeline:
         # set it near the per-bucket document count in production,
         # None disables.  Delta files skip it (tiny by contract).
         self.bloom_ndv = bloom_ndv
+        # Delta-pressure backstop for BATCH mutation callers (streaming
+        # has its own compact_every cadence): once a bucket accumulates
+        # this many delta_seq directories, the delta append/delete that
+        # crossed the line folds that bucket back into its base before
+        # returning — read-side resolution cost stays bounded no matter
+        # how many small appends a long-lived snapshot receives.  None
+        # disables (e.g. to preserve full time-travel history, which
+        # compaction collapses).
+        self.delta_compact_threshold = delta_compact_threshold
 
     def _base_writer(self, df: DataFrame):
         """Writer for BASE data files, with the doc_id bloom filter
@@ -416,6 +426,33 @@ class CompressionPipeline:
                    for c in self.fs.listdir(_join(snap, n))):
                 out.append(int(n.split("=", 1)[1]))
         return sorted(out)
+
+    def _maybe_compact_deltas(self, snapshot_id: str,
+                              buckets) -> list[int]:
+        """Fold any of ``buckets`` whose delta_seq directory count has
+        reached ``delta_compact_threshold`` back into the base.  Called
+        by the delta append and tombstone-delete paths after their
+        lineage commit, so N small mutations cost O(delta) each plus
+        ONE amortized O(bucket) rewrite every threshold-th mutation —
+        the read path then resolves at most ``threshold`` delta files
+        per bucket, a bound that holds at any corpus size.  Returns the
+        buckets that were compacted."""
+        thr = self.delta_compact_threshold
+        if not thr:
+            return []
+        snap = _join(self.delta_dir, f"snapshot_id={snapshot_id}")
+        pressured = []
+        for b in buckets:
+            bdir = _join(snap, f"bucket={b}")
+            if not self.fs.exists(bdir):
+                continue
+            n = sum(1 for c in self.fs.listdir(bdir)
+                    if c.startswith("delta_seq="))
+            if n >= thr:
+                pressured.append(b)
+        if pressured:
+            self.compact(snapshot_id, buckets=pressured)
+        return pressured
 
     def _delta_paths(self, snapshot_id: str, buckets=None) -> list[str]:
         have = self._delta_buckets(snapshot_id)
@@ -684,7 +721,13 @@ class CompressionPipeline:
         incrementally from thin columns — no existing row is re-read
         in bulk or rewritten.  ``strategy="rewrite"`` is the original
         bucket rewrite (what :meth:`compact` uses internally) — the
-        right call for bulk deltas comparable to the bucket size."""
+        right call for bulk deltas comparable to the bucket size.
+
+        Delta pressure is self-bounding: once an affected bucket holds
+        ``delta_compact_threshold`` delta_seq dirs, this call folds it
+        into the base before returning (see
+        :meth:`_maybe_compact_deltas`), so repeated small appends never
+        degrade the read path unboundedly."""
         if mode not in ("upsert", "append"):
             raise ValueError(f"append: unknown mode {mode!r}")
         if strategy not in ("delta", "rewrite"):
@@ -880,6 +923,7 @@ class CompressionPipeline:
                                              added, wall, seq):
                 for k in totals:
                     totals[k] += int(r[k])
+        self._maybe_compact_deltas(snapshot_id, affected)
         return PipelineResult(snapshot_id, len(affected),
                               nb - len(affected), totals["docs"],
                               totals["tokens"], totals["raw_bytes"],
@@ -1271,6 +1315,7 @@ class CompressionPipeline:
                                          wall, seq):
             for k in totals:
                 totals[k] -= int(r[k])  # removed amounts, as positives
+        self._maybe_compact_deltas(snapshot_id, affected)
         return PipelineResult(snapshot_id, len(affected),
                               nb - len(affected), totals["docs"],
                               totals["tokens"], totals["raw_bytes"],
