@@ -181,16 +181,18 @@ def count_bits(block: np.ndarray) -> np.ndarray:
 
     Byte-LUT bincount instead of unpackbits: per BYTE POSITION, a
     256-bin histogram of that position's column, then a [256 x 8]
-    bit-table matmul.  One byte-major transpose makes each column
-    contiguous, so every bincount runs over a dense uint8 run with an
-    L1-resident bin table — total traffic is ~2x the payload bytes
-    (transpose + histogram read), versus the 8x of the previous
-    combined-key variant (whose int64 ``pos*256+byte`` key array was
-    the traffic, not the bincount): 5-10x on the learn pass's count
-    kernel, byte-for-byte identical counts.  Little-endian byte k of
-    an element holds its bits k*8..k*8+7, so the per-byte LSB-first
-    columns concatenate directly into the element-wide LSB-first
-    layout."""
+    bit-table matmul.  The byte-major layout comes from a ROW-BLOCKED
+    transpose — ``cols[:, i0:i0+B] = u8[i0:i0+B].T`` per block of B
+    rows — so the source tile stays cache-resident and the destination
+    writes are runs of B contiguous bytes; a naive full-matrix
+    ``ascontiguousarray(u8.T)`` touches a fresh cache line per element
+    (the row stride exceeds a line) and measures ~9x slower at the
+    learn pass's (rows x positions) shapes.  Each bincount then runs
+    over a dense uint8 run with an L1-resident bin table.  Counts are
+    byte-for-byte identical to the naive per-bit reference (pinned in
+    tests).  Little-endian byte k of an element holds its bits
+    k*8..k*8+7, so the per-byte LSB-first columns concatenate directly
+    into the element-wide LSB-first layout."""
     block_u = _as_unsigned(np.ascontiguousarray(block))
     n, v = block_u.shape
     w = block_u.dtype.itemsize
@@ -199,7 +201,10 @@ def count_bits(block: np.ndarray) -> np.ndarray:
     le = block_u.astype(block_u.dtype.newbyteorder("<"), copy=False)
     u8 = np.ascontiguousarray(le).view(np.uint8).reshape(n, v * w)
     nb = v * w
-    cols = np.ascontiguousarray(u8.T)  # (nb, n) byte-major
+    cols = np.empty((nb, n), np.uint8)  # (nb, n) byte-major
+    B = 512  # row block: B x nb source tile stays L2-resident
+    for i0 in range(0, n, B):
+        cols[:, i0:i0 + B] = u8[i0:i0 + B].T
     hist = np.empty((nb, 256), np.int64)
     for j in range(nb):
         hist[j] = np.bincount(cols[j], minlength=256)
