@@ -5,9 +5,10 @@ to text.  This module provides the Spark-side plumbing — schema,
 deterministic synthesis, Arrow-batched transform signatures, partition
 behavior.  Decoding is REAL for every container parseable with pure
 numpy — uncompressed 24-bit BMP, binary PPM/PGM, and PCM WAV — plus
-the deterministic FAKE container; PNG (8-bit gray / gray-alpha / RGB /
-RGBA, all five filter types) decodes for real via stdlib zlib inflate
-+ vectorized per-scanline un-filtering; baseline-sequential JPEG
+the deterministic FAKE container; PNG (8- and 16-bit gray /
+gray-alpha / RGB / RGBA, all five filter types, sequential or Adam7
+interlaced) decodes for real via stdlib zlib inflate + vectorized
+per-scanline un-filtering; baseline-sequential JPEG
 (gray / YCbCr 4:4:4) decodes for real via marker walk + DHT-driven
 Huffman entropy decode + dequant + vectorized float IDCT + color
 conversion; only formats still needing a media codec (progressive
@@ -133,34 +134,26 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def make_png(w: int, h: int, pixels: np.ndarray, color_type: int = 2,
-             filters=None) -> bytes:
-    """Real PNG encoder (stdlib zlib deflate): 8-bit gray (0),
-    RGB (2), gray-alpha (4) or RGBA (6), non-interlaced.  ``pixels``
-    is uint8 of size h*w*channels in raster order.  ``filters`` forces
-    the per-scanline filter type: an int applies to every row, a
-    sequence gives one per row, None cycles 0..4 (so every filter
-    type appears in any image with >= 5 rows — the property tests
-    lean on this).  Filtering is fully vectorized: the predictors
-    read the RECONSTRUCTED neighbors, which the encoder already has."""
-    import zlib
+# Adam7 interlace pass grid: (x_start, y_start, x_step, y_step)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    ch = _PNG_CH[color_type]
-    px = np.asarray(pixels, np.uint8).reshape(h, w * ch)
-    if filters is None:
-        ftypes = [r % 5 for r in range(h)]
-    elif isinstance(filters, int):
-        ftypes = [filters] * h
-    else:
-        ftypes = [int(f) for f in filters]
-    out = np.empty((h, 1 + w * ch), np.uint8)
-    prev = np.zeros(w * ch, np.int64)
-    for r in range(h):
+
+def _filter_rows(px: np.ndarray, nrows: int, bpp: int, ftypes) -> np.ndarray:
+    """Filter (nrows, rowbytes) byte rows into (nrows, 1+rowbytes)
+    PNG scanlines.  ``bpp`` is the filter stride in BYTES (spec 9.2:
+    the left neighbor is the corresponding byte of the prior pixel).
+    Filtering is vectorized: the predictors read the RECONSTRUCTED
+    neighbors, which the encoder already has."""
+    rowbytes = px.shape[1]
+    out = np.empty((nrows, 1 + rowbytes), np.uint8)
+    prev = np.zeros(rowbytes, np.int64)
+    for r in range(nrows):
         raw = px[r].astype(np.int64)
-        a = np.zeros(w * ch, np.int64)
-        a[ch:] = raw[:-ch]
-        c = np.zeros(w * ch, np.int64)
-        c[ch:] = prev[:-ch]
+        a = np.zeros(rowbytes, np.int64)
+        a[bpp:] = raw[:-bpp]
+        c = np.zeros(rowbytes, np.int64)
+        c[bpp:] = prev[:-bpp]
         ft = ftypes[r]
         if ft == 0:
             filt = raw
@@ -177,19 +170,112 @@ def make_png(w: int, h: int, pixels: np.ndarray, color_type: int = 2,
         out[r, 0] = ft
         out[r, 1:] = (filt % 256).astype(np.uint8)
         prev = raw
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return out
+
+
+def make_png(w: int, h: int, pixels: np.ndarray, color_type: int = 2,
+             filters=None, depth: int = 8, interlace: int = 0) -> bytes:
+    """Real PNG encoder (stdlib zlib deflate): gray (0), RGB (2),
+    gray-alpha (4) or RGBA (6) at bit depth 8 (uint8 pixels) or 16
+    (uint16 pixels, written big-endian per spec), sequential or Adam7
+    interlaced.  ``pixels`` has size h*w*channels in raster order.
+    ``filters`` forces the per-scanline filter type: an int applies to
+    every row, a sequence gives one per row, None cycles 0..4 (so
+    every filter type appears in any image with >= 5 rows — the
+    property tests lean on this); under Adam7 the policy applies
+    per-pass, each pass being an independently filtered sub-image."""
+    import zlib
+
+    if depth not in (8, 16):
+        raise ValueError(f"PNG depth {depth} unsupported (8 or 16)")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG interlace {interlace} out of range")
+    ch = _PNG_CH[color_type]
+    sw = depth // 8  # sample width in bytes
+    bpp = ch * sw
+    dt = np.uint8 if depth == 8 else np.dtype(">u2")
+    img = np.ascontiguousarray(
+        np.asarray(pixels).astype(dt, copy=False).reshape(h, w, ch))
+
+    def ftypes_for(nrows: int):
+        if filters is None:
+            return [r % 5 for r in range(nrows)]
+        if isinstance(filters, int):
+            return [filters] * nrows
+        return [int(f) for f in filters][:nrows]
+
+    if interlace == 0:
+        sub_images = [img]
+    else:
+        sub_images = [img[y0::dy, x0::dx]
+                      for x0, y0, dx, dy in _ADAM7
+                      if img[y0::dy, x0::dx].size]
+    parts = []
+    for sub in sub_images:
+        ph, pw = sub.shape[:2]
+        rows = np.ascontiguousarray(sub).view(np.uint8).reshape(
+            ph, pw * bpp)
+        parts.append(_filter_rows(rows, ph, bpp,
+                                  ftypes_for(ph)).tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0,
+                       interlace)
     return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(out.tobytes()))
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(parts)))
             + _png_chunk(b"IEND", b""))
+
+
+def _defilter_rows(data: np.ndarray, nrows: int, bpp: int) -> np.ndarray:
+    """Un-filter (nrows, 1+rowbytes) PNG scanlines into (nrows,
+    rowbytes) reconstructed bytes.  ``bpp`` is the filter stride in
+    BYTES.  Sub rows fall to one per-lane modular cumsum and Up rows
+    to one vector add; Average/Paeth rows walk pixels left to right
+    (the defilter recurrence is inherently sequential in x) with the
+    byte lanes vectorized."""
+    rowbytes = data.shape[1] - 1
+    npix = rowbytes // bpp
+    recon = np.zeros((nrows, rowbytes), np.int64)
+    prev = np.zeros(rowbytes, np.int64)
+    for r in range(nrows):
+        ft = int(data[r, 0])
+        row = data[r, 1:].astype(np.int64)
+        if ft == 0:
+            cur = row
+        elif ft == 1:  # Sub: per-lane modular prefix sum
+            cur = (np.cumsum(row.reshape(npix, bpp), axis=0)
+                   % 256).reshape(-1)
+        elif ft == 2:  # Up
+            cur = (row + prev) % 256
+        elif ft == 3:  # Average: sequential in x, lane-vectorized
+            cur = np.empty(rowbytes, np.int64)
+            a = np.zeros(bpp, np.int64)
+            for x in range(npix):
+                s = x * bpp
+                a = (row[s:s + bpp] + (a + prev[s:s + bpp]) // 2) % 256
+                cur[s:s + bpp] = a
+        elif ft == 4:  # Paeth: sequential in x, lane-vectorized
+            cur = np.empty(rowbytes, np.int64)
+            a = np.zeros(bpp, np.int64)
+            c = np.zeros(bpp, np.int64)
+            for x in range(npix):
+                s = x * bpp
+                b = prev[s:s + bpp]
+                a = (row[s:s + bpp] + _paeth(a, b, c)) % 256
+                cur[s:s + bpp] = a
+                c = b
+        else:
+            raise ValueError(f"PNG filter type {ft} out of range")
+        recon[r] = cur
+        prev = cur
+    return recon
 
 
 def _decode_png(raw: bytes) -> dict:
     """PNG decode with stdlib zlib: chunk walk, inflate, per-scanline
-    un-filtering.  Sub rows fall to one per-lane modular cumsum and Up
-    rows to one vector add; Average/Paeth rows walk pixels left to
-    right (the defilter recurrence is inherently sequential in x) with
-    the channel lanes vectorized.  8-bit depth, interlace 0 only —
-    Adam7 and 16-bit rasters still raise."""
+    un-filtering (:func:`_defilter_rows`).  Bit depth 8 and 16
+    (big-endian samples, returned as uint16), sequential AND Adam7
+    interlaced (each pass de-filters as an independent sub-image, then
+    scatters into the output raster on the pass grid).  Depths below 8
+    (palette/1/2/4-bit) still raise."""
     import zlib
 
     i, n = 8, len(raw)
@@ -207,52 +293,50 @@ def _decode_png(raw: bytes) -> dict:
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
     w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color_type not in _PNG_CH \
-            or comp != 0 or filt != 0:
+    if depth not in (8, 16) or interlace not in (0, 1) \
+            or color_type not in _PNG_CH or comp != 0 or filt != 0:
         raise NotImplementedError(
             f"PNG depth={depth} color_type={color_type} "
-            f"interlace={interlace}: only 8-bit non-interlaced "
-            "gray/gray-alpha/RGB/RGBA decode without codec libraries")
+            f"interlace={interlace}: only 8/16-bit gray/gray-alpha/"
+            "RGB/RGBA (sequential or Adam7) decode without codec "
+            "libraries")
     ch = _PNG_CH[color_type]
+    sw = depth // 8
+    bpp = ch * sw
     data = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
-    if data.size != h * (1 + w * ch):
-        raise ValueError("PNG IDAT stream has the wrong length")
-    data = data.reshape(h, 1 + w * ch)
-    recon = np.zeros((h, w * ch), np.int64)
-    prev = np.zeros(w * ch, np.int64)
-    for r in range(h):
-        ft = int(data[r, 0])
-        row = data[r, 1:].astype(np.int64)
-        if ft == 0:
-            cur = row
-        elif ft == 1:  # Sub: per-lane modular prefix sum
-            cur = (np.cumsum(row.reshape(w, ch), axis=0) % 256).reshape(-1)
-        elif ft == 2:  # Up
-            cur = (row + prev) % 256
-        elif ft == 3:  # Average: sequential in x, channel-vectorized
-            cur = np.empty(w * ch, np.int64)
-            a = np.zeros(ch, np.int64)
-            for x in range(w):
-                s = x * ch
-                a = (row[s:s + ch] + (a + prev[s:s + ch]) // 2) % 256
-                cur[s:s + ch] = a
-        elif ft == 4:  # Paeth: sequential in x, channel-vectorized
-            cur = np.empty(w * ch, np.int64)
-            a = np.zeros(ch, np.int64)
-            c = np.zeros(ch, np.int64)
-            for x in range(w):
-                s = x * ch
-                b = prev[s:s + ch]
-                a = (row[s:s + ch] + _paeth(a, b, c)) % 256
-                cur[s:s + ch] = a
-                c = b
-        else:
-            raise ValueError(f"PNG filter type {ft} out of range")
-        recon[r] = cur
-        prev = cur
+
+    def to_samples(rows: np.ndarray, ph: int, pw: int) -> np.ndarray:
+        b = rows.astype(np.uint8).reshape(ph, pw, ch, sw)
+        if sw == 1:
+            return b[..., 0]
+        return (b[..., 0].astype(np.uint16) << 8) | b[..., 1]
+
+    if interlace == 0:
+        if data.size != h * (1 + w * bpp):
+            raise ValueError("PNG IDAT stream has the wrong length")
+        out = to_samples(_defilter_rows(data.reshape(h, 1 + w * bpp),
+                                        h, bpp), h, w)
+    else:
+        out = np.zeros((h, w, ch),
+                       np.uint8 if sw == 1 else np.uint16)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = max(0, -(-(h - y0) // dy))
+            pw = max(0, -(-(w - x0) // dx))
+            if not ph or not pw:
+                continue
+            span = ph * (1 + pw * bpp)
+            if off + span > data.size:
+                raise ValueError("PNG IDAT stream has the wrong length")
+            rows = _defilter_rows(
+                data[off:off + span].reshape(ph, 1 + pw * bpp), ph, bpp)
+            out[y0::dy, x0::dx] = to_samples(rows, ph, pw)
+            off += span
+        if off != data.size:
+            raise ValueError("PNG IDAT stream has the wrong length")
     return {"fmt": "png", "kind": "image", "w": w, "h": h, "frames": 1,
-            "sample_rate": 0, "channels": ch,
-            "body": recon.astype(np.uint8).reshape(-1)}
+            "sample_rate": 0, "channels": ch, "depth": depth,
+            "body": out.reshape(-1)}
 
 
 # -- baseline JPEG (pure numpy + stdlib, no media libraries) ---------------
@@ -759,7 +843,8 @@ def decode_image(payload) -> tuple:
     else:
         ch = 3 if d["fmt"] in ("bmp", "ppm") else 1
     shape = (d["h"], d["w"]) if ch == 1 else (d["h"], d["w"], ch)
-    px = np.asarray(d["body"], np.uint8).reshape(shape)
+    dt = np.uint16 if d.get("depth", 8) == 16 else np.uint8
+    px = np.asarray(d["body"], dt).reshape(shape)
     if d["fmt"] == "bmp":  # file order is BGR
         px = px[:, :, ::-1]
     meta = {k: d[k] for k in ("fmt", "w", "h")}
@@ -851,7 +936,10 @@ def decode_and_featurize(assets: DataFrame, feat_dim: int = 16) -> DataFrame:
                     d = parse_container(
                         flat[starts[i]:starts[i] + sizes[i]].tobytes())
                     w[i], h[i] = d["w"], d["h"]
-                    parts.append(np.asarray(d["body"], np.uint8))
+                    bd = np.ascontiguousarray(np.asarray(d["body"]))
+                    # 16-bit rasters histogram over their raw bytes
+                    parts.append(bd if bd.dtype == np.uint8
+                                 else bd.view(np.uint8))
                 body_len = np.fromiter((p.size for p in parts),
                                        np.int64, count=n)
                 body = (np.concatenate(parts) if parts

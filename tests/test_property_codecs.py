@@ -226,17 +226,44 @@ def test_png_roundtrip_property(w, h, color_type, filt, seed):
     np.testing.assert_array_equal(got, px)
 
 
-def test_png_16bit_and_interlace_raise():
-    import struct, zlib
+def test_png_sub_byte_depths_still_raise():
     from invariantbitpacking_spark.functions import multimodal as mm
 
-    # patch a valid file's IHDR to depth 16 / interlace 1
+    # patch a valid file's IHDR to a palette-class depth (4-bit):
+    # 16-bit and Adam7 decode for real now, sub-byte depths do not
     px = np.zeros((2, 2, 3), np.uint8)
     raw = bytearray(mm.make_png(2, 2, px))
-    raw[24] = 16  # bit depth byte of IHDR
+    raw[24] = 4  # bit depth byte of IHDR
     import pytest
-    with pytest.raises(NotImplementedError, match="depth=16"):
+    with pytest.raises(NotImplementedError, match="depth=4"):
         mm.parse_container(bytes(raw))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=24),
+       st.sampled_from([0, 2, 4, 6]),
+       st.sampled_from([8, 16]),
+       st.sampled_from([0, 1]),
+       st.integers(min_value=0, max_value=2**32 - 1))
+def test_png_depth_interlace_roundtrip_property(w, h, color_type, depth,
+                                                interlace, seed):
+    """16-bit (big-endian samples) and Adam7-interlaced PNGs
+    round-trip bit-identically across every color type; dims below
+    the pass grid exercise empty-pass handling."""
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    ch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rng = np.random.default_rng(seed)
+    hi = 256 if depth == 8 else 65536
+    dt = np.uint8 if depth == 8 else np.uint16
+    px = rng.integers(0, hi, (h, w, ch)).astype(dt)
+    img, meta = mm.decode_image(
+        mm.make_png(w, h, px, color_type=color_type, depth=depth,
+                    interlace=interlace))
+    assert (meta["w"], meta["h"]) == (w, h)
+    assert img.dtype == dt
+    np.testing.assert_array_equal(img.reshape(h, w, ch), px)
 
 
 @settings(max_examples=30, deadline=None)
