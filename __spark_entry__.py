@@ -1002,6 +1002,15 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (duplicate-word fraction, top
+    word-bigram share, duplicated-bigram share) over the documents
+    table — see dataops.repetition_stats for the scale argument."""
+    from invariantbitpacking_spark.functions.dataops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from invariantbitpacking_spark.functions.dataops import doc_fingerprint
 
@@ -1283,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_lowt": q_embedding_dup_pairs_lowt,
         "text_quality": q_text_quality,
         "token_counts": q_token_counts,
+        "repetition_stats": q_repetition_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "multimodal_featurize": q_multimodal_featurize,
@@ -2341,6 +2351,33 @@ def oracle_sql() -> dict[str, str]:
                         w -> CAST(ceil(length(w) / 4.0) AS INT)))
                         AS INT) AS n_subwords_est
             FROM t
+        """,
+        "repetition_stats": """
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              string_split(text, ' ') AS w
+                       FROM documents),
+            s AS (SELECT doc_id, len(w) AS nw,
+                         len(list_distinct(w)) AS ndw, w
+                  FROM t),
+            bg AS (SELECT doc_id, w[g.i] || ' ' || w[g.i + 1] AS bg
+                   FROM s, LATERAL (SELECT unnest(range(1, nw)) AS i) g),
+            c AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY 1, 2),
+            r AS (SELECT doc_id, max(c) AS topc, sum(c) AS nb,
+                         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_occ
+                  FROM c GROUP BY 1)
+            SELECT s.doc_id,
+                   CAST(nw AS INT) AS n_words,
+                   CAST(ndw AS INT) AS n_distinct_words,
+                   ROUND((nw - ndw) * 1.0 / nw, 6) AS dup_word_frac,
+                   CAST(coalesce(topc, 0) AS INT) AS top_bigram_count,
+                   CAST(coalesce(nb, 0) AS INT) AS n_bigrams,
+                   CASE WHEN coalesce(nb, 0) > 0
+                        THEN ROUND(topc * 1.0 / nb, 6)
+                        ELSE 0.0 END AS top_bigram_frac,
+                   CASE WHEN coalesce(nb, 0) > 0
+                        THEN ROUND(dup_occ * 1.0 / nb, 6)
+                        ELSE 0.0 END AS dup_bigram_frac
+            FROM s LEFT JOIN r USING (doc_id)
         """,
         "doc_fingerprint": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id,

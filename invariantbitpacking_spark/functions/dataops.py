@@ -619,6 +619,53 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals, the standard pretraining
+    filters for boilerplate and degenerate text: duplicate-word
+    fraction, the most frequent word-bigram's share of all bigram
+    occurrences, and the share of bigram occurrences whose bigram
+    appears more than once.  Shapes as Catalyst expressions plus one
+    explode + two per-doc aggregations — the group keys are
+    (doc_id, bigram), so the shuffle is uniformly distributed and the
+    per-group state is a counter: scale-safe at any corpus size (no
+    per-doc quadratic array scans, no driver state).  Counts (not the
+    argmax bigram string) are emitted, so ties need no tiebreak and
+    the DuckDB oracle replays exactly."""
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    base = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        nw.alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct_words"),
+        F.when(nw >= 2, F.zip_with(
+            F.slice(words, 1, nw - 1), F.slice(words, 2, nw - 1),
+            lambda a, b: F.concat_ws(" ", a, b))
+        ).otherwise(F.array().cast("array<string>")).alias("bigrams"))
+    counts = (base.select("doc_id", F.explode("bigrams").alias("bg"))
+              .groupBy("doc_id", "bg")
+              .agg(F.count(F.lit(1)).alias("c")))
+    rep = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c"))
+              .otherwise(F.lit(0))).alias("dup_bigram_occ"))
+    out = base.drop("bigrams").join(rep, "doc_id", "left")
+    nb = F.coalesce(F.col("n_bigrams"), F.lit(0))
+    return out.select(
+        "doc_id", "n_words", "n_distinct_words",
+        F.round((F.col("n_words") - F.col("n_distinct_words"))
+                / F.col("n_words"), 6).alias("dup_word_frac"),
+        F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast("int")
+        .alias("top_bigram_count"),
+        nb.cast("int").alias("n_bigrams"),
+        F.when(nb > 0, F.round(F.coalesce("top_bigram_count", F.lit(0))
+                               / nb, 6)).otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+        F.when(nb > 0, F.round(F.coalesce("dup_bigram_occ", F.lit(0))
+                               / nb, 6)).otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"))
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Order-sensitive polynomial fingerprint of the word sequence
     (rolling hash mod 1e9+7): equal fingerprints == equal word streams

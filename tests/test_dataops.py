@@ -307,3 +307,33 @@ def test_pack_sequences_full_packer(spark, tokens_df):
             assert r["n_tok"] == L  # every sequence full except the last
         got.extend(r["tokens"])
     assert got == stream
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher-style repetition signals on hand-built docs: a degenerate
+    loop, a clean doc, and a single-word doc."""
+    rows = [
+        # "a b" x3 then "c": bigrams = ab,ba,ab,ba,ab,bc -> top ab=3 of 6,
+        # dup occ = ab(3)+ba(2) = 5 of 6
+        ("loop", "a b a b a b c"),
+        ("clean", "one two three four"),
+        ("single", "word"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in
+           dataops.repetition_stats(docs).collect()}
+    lo = out["loop"]
+    assert (lo["n_words"], lo["n_distinct_words"]) == (7, 3)
+    assert lo["n_bigrams"] == 6
+    assert lo["top_bigram_count"] == 3
+    assert lo["top_bigram_frac"] == 0.5
+    assert lo["dup_bigram_frac"] == pytest.approx(5 / 6, abs=1e-6)
+    assert lo["dup_word_frac"] == pytest.approx(4 / 7, abs=1e-6)
+    cl = out["clean"]
+    assert cl["dup_word_frac"] == 0.0
+    assert cl["top_bigram_count"] == 1
+    assert cl["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert cl["dup_bigram_frac"] == 0.0
+    si = out["single"]
+    assert (si["n_words"], si["n_bigrams"]) == (1, 0)
+    assert si["top_bigram_frac"] == 0.0 and si["dup_bigram_frac"] == 0.0
