@@ -220,6 +220,50 @@ def main() -> None:
     w_rows = timed("q8_stream_window", run_window)
     extras["stream_window_rows"] = int(w_rows)
 
+    # q9/q10: durable-store verbs over a real on-disk snapshot —
+    # tombstone delete (the O(delta) logical erase, pipeline.delete)
+    # and time-travel point fetch (fetch(..., as_of_seq)).  Building
+    # the store (run()) is setup, not measured.  Each delete trial
+    # tombstones a DISJOINT 100-id batch: re-deleting the same ids is
+    # an idempotent no-op, which would make later trials artificially
+    # cheap under best-of-3.
+    import shutil
+
+    from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+
+    store_dir = os.path.join(
+        os.environ.get("IBP_DATA_DIR", "/tmp/ibp_spark_data"),
+        f"bench_store_{NUM_ROWS}")
+    shutil.rmtree(store_dir, ignore_errors=True)
+    pipe = CompressionPipeline(spark, store_dir, num_buckets=CPUS,
+                               wave_buckets=CPUS)
+    snap = "bench-snap"
+    pipe.run(toks, snap)
+    seq0 = pipe._snapshot_max_seq(snap)
+    victims = [r[0] for r in
+               toks.select("doc_id").sort("doc_id").limit(300).collect()]
+    batch_iter = iter([victims[i:i + 100] for i in range(0, 300, 100)])
+
+    def run_delete():
+        ids = spark.createDataFrame([(d,) for d in next(batch_iter)],
+                                    "doc_id string")
+        pipe.delete(ids, snap, strategy="tombstone")
+        return 0
+
+    timed("q9_tombstone_delete", run_delete)
+    extras["tombstone_docs_per_trial"] = 100
+
+    tt_ids = victims[:10]
+    pipe.fetch(tt_ids, snap, as_of_seq=seq0).count()  # warm
+
+    def run_tt_fetch():
+        # as-of the pre-delete commit: all 10 tombstoned docs visible
+        return pipe.fetch(tt_ids, snap, as_of_seq=seq0).count()
+
+    tt_rows = timed("q10_time_travel_fetch", run_tt_fetch)
+    assert tt_rows == 10, f"time-travel fetch returned {tt_rows} rows"
+    extras["time_travel_fetch_docs"] = int(tt_rows)
+
     # external-codec size comparison (reference Tables 1-2 role,
     # src/compress_test.cu:125-137: IBP ratio vs nvComp LZ4/Snappy/Zstd
     # etc.): the same tokens column written as parquet with each
