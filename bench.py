@@ -264,6 +264,11 @@ def main() -> None:
     assert tt_rows == 10, f"time-travel fetch returned {tt_rows} rows"
     extras["time_travel_fetch_docs"] = int(tt_rows)
 
+    # the staged input copy and the store itself are bench scaffolding;
+    # drop them so a 100x run's disk peak is the live artifacts only
+    pipe.cleanup_staging(snap)
+    shutil.rmtree(store_dir, ignore_errors=True)
+
     # external-codec size comparison (reference Tables 1-2 role,
     # src/compress_test.cu:125-137: IBP ratio vs nvComp LZ4/Snappy/Zstd
     # etc.): the same tokens column written as parquet with each
