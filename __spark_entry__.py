@@ -1191,24 +1191,34 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rt(batches):
         for pdf in batches:
             out = {"doc_id": [], "img_w": [], "img_h": [],
-                   "px_sum": [], "px_min": [], "px_max": []}
+                   "px_sum": [], "px_min": [], "px_max": [],
+                   "px_sum_prog": []}
             for doc_id, arr in zip(pdf["doc_id"], pdf["tokens"]):
                 t = np.asarray(arr, np.int64)[:24]
                 vals = (t % 256).astype(np.uint8)
                 px = np.repeat(vals, 64).reshape(-1, 8, 8).reshape(-1, 8)
                 jpg = mm.make_jpeg(8, 8 * vals.size, px, quality=0)
                 img, meta = mm.decode_image(jpg)
+                # the same raster as a PROGRESSIVE (SOF2, successive
+                # approximation) file with restart intervals: the scan
+                # pairs restore every coefficient bit, so its decoded
+                # sum must replay from the tokens identically
+                jpg2 = mm.make_jpeg(8, 8 * vals.size, px, quality=0,
+                                    progressive=True, restart_interval=3)
+                img2, _ = mm.decode_image(jpg2)
                 out["doc_id"].append(doc_id)
                 out["img_w"].append(meta["w"])
                 out["img_h"].append(meta["h"])
                 out["px_sum"].append(int(img.astype(np.int64).sum()))
                 out["px_min"].append(int(img.min()))
                 out["px_max"].append(int(img.max()))
+                out["px_sum_prog"].append(int(img2.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
     return toks.select("doc_id", "tokens").mapInPandas(
         rt, schema="doc_id string, img_w int, img_h int, "
-                   "px_sum long, px_min int, px_max int")
+                   "px_sum long, px_min int, px_max int, "
+                   "px_sum_prog long")
 
 
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2471,7 +2481,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(8 * len(v) AS INT) AS img_h,
                    CAST(64 * list_sum(v) AS BIGINT) AS px_sum,
                    CAST(list_min(v) AS INT) AS px_min,
-                   CAST(list_max(v) AS INT) AS px_max
+                   CAST(list_max(v) AS INT) AS px_max,
+                   CAST(64 * list_sum(v) AS BIGINT) AS px_sum_prog
             FROM c
         """,
         "lang_id": """

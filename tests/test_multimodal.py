@@ -116,24 +116,30 @@ def _patch_jpeg(raw: bytes, find: bytes, repl: bytes) -> bytes:
 
 
 def test_jpeg_unsupported_features_raise():
-    """The baseline JPEG decoder covers SOF0/1 gray + 4:4:4 and raises
-    a named NotImplementedError for every feature it does not cover —
-    patched real files prove each gate fires before any wrong decode."""
-    import struct
-
+    """The JPEG decoder raises by name for the features it genuinely
+    cannot decode (arithmetic coding, 16-bit tables, weird sampling),
+    and rejects structurally invalid progressive scans — patched real
+    files prove each gate fires before any wrong decode.  Progressive,
+    subsampling and restart intervals decode for real now
+    (tests/test_jpeg_extended.py)."""
     from invariantbitpacking_spark.functions import multimodal as mm
 
     px = np.zeros((8, 8), np.uint8)
     base = mm.make_jpeg(8, 8, px)
 
-    with pytest.raises(NotImplementedError, match="progressive"):
+    # marker says SOF2 but the scan keeps the sequential full band
+    # (Ss=0, Se=63): invalid progressive spectral selection
+    with pytest.raises(ValueError, match="spectral band"):
         mm.parse_container(_patch_jpeg(base, b"\xff\xc0", b"\xff\xc2"))
+    # arithmetic-coded SOF
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        mm.parse_container(_patch_jpeg(base, b"\xff\xc0", b"\xff\xc9"))
     # SOF payload: len(2) prec(1) h(2) w(2) nc(1) then cid,hv,tq —
-    # flip hv from 0x11 (1x1) to 0x22 (2x2 subsampled)
+    # sampling factor 3 is outside the supported 1/2/4 set
     sof_at = base.index(b"\xff\xc0")
     patched = bytearray(base)
-    patched[sof_at + 11] = 0x22
-    with pytest.raises(NotImplementedError, match="subsampled"):
+    patched[sof_at + 11] = 0x31
+    with pytest.raises(NotImplementedError, match="sampling factors"):
         mm.parse_container(bytes(patched))
     # DQT precision nibble -> 16-bit tables
     dqt_at = base.index(b"\xff\xdb")
@@ -141,11 +147,6 @@ def test_jpeg_unsupported_features_raise():
     patched[dqt_at + 4] = 0x10
     with pytest.raises(NotImplementedError, match="16-bit"):
         mm.parse_container(bytes(patched))
-    # a DRI segment with a nonzero restart interval before SOS
-    sos_at = base.index(b"\xff\xda")
-    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
-    with pytest.raises(NotImplementedError, match="restart"):
-        mm.parse_container(base[:sos_at] + dri + base[sos_at:])
 
 
 def test_jpeg_byte_stuffing_in_scan():
