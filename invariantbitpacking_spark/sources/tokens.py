@@ -77,49 +77,78 @@ def _profile_tokens(rng: np.random.Generator, source: str, n: int,
     raise ValueError(source)
 
 
+def _gen_row(i: int, rng: np.random.Generator, templates) -> tuple:
+    """Row i of the deterministic corpus.  ALL rng draws for a row go
+    through here in a fixed order, so any chunking of the enclosing
+    loop yields bit-identical rows at every corpus size."""
+    source = PROFILES[i % len(PROFILES)]
+    if source == "skewdoc":
+        n_tok = min(int(rng.pareto(1.2) * 256) + 16, 65_536)
+    else:
+        n_tok = int(rng.integers(64, 2048))
+    toks = _profile_tokens(rng, source, n_tok, templates)
+    return (f"{source}-{i:08d}", toks, n_tok, source)
+
+
+def _gen_templates(rng: np.random.Generator) -> np.ndarray:
+    t = rng.integers(0, 2**31, (32, VEC_SIZE), dtype=np.int64).astype(np.int32)
+    t &= ~np.int32(15)  # low 4 bits left for noise
+    return t
+
+
 def generate_tokens_rows(num_rows: int, seed: int = SEED):
-    """Deterministic generator yielding (doc_id, tokens, n_tok, source)
-    numpy rows, round-robin over profiles.  Same seed -> same table."""
+    """Deterministic (doc_id, tokens, n_tok, source) numpy rows,
+    round-robin over profiles.  Same seed -> same table; a prefix of a
+    larger corpus equals the smaller corpus."""
     rng = np.random.default_rng(seed)
-    templates = rng.integers(0, 2**31, (32, VEC_SIZE), dtype=np.int64).astype(np.int32)
-    templates &= ~np.int32(15)  # low 4 bits left for noise
-    rows = []
-    for i in range(num_rows):
-        source = PROFILES[i % len(PROFILES)]
-        if source == "skewdoc":
-            n_tok = min(int(rng.pareto(1.2) * 256) + 16, 65_536)
-        else:
-            n_tok = int(rng.integers(64, 2048))
-        toks = _profile_tokens(rng, source, n_tok, templates)
-        rows.append((f"{source}-{i:08d}", toks, n_tok, source))
-    return rows
+    templates = _gen_templates(rng)
+    return [_gen_row(i, rng, templates) for i in range(num_rows)]
 
 
 def write_tokens_parquet(path: str, num_rows: int, seed: int = SEED,
-                         row_group_docs: int = 2000) -> str:
+                         row_group_docs: int = 2000,
+                         chunk_docs: int = 20_000) -> str:
     """Materialize the synthetic table as parquet with pyarrow (fast,
-    no JVM needed); idempotent per (path exists) check."""
+    no JVM needed); idempotent per (path exists) check.  Rows stream
+    through one ParquetWriter in fixed-size chunks, so driver memory
+    stays O(chunk) — the previous whole-table buffer held ~35 GB at
+    the 100x bench point (4M docs / 4.1B tokens) before a single
+    monolithic write_table call."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     if os.path.exists(os.path.join(path, "_SUCCESS")):
         return path
     os.makedirs(path, exist_ok=True)
-    rows = generate_tokens_rows(num_rows, seed)
     schema = pa.schema([
         ("doc_id", pa.string()),
         ("tokens", pa.list_(pa.int32())),
         ("n_tok", pa.int32()),
         ("source", pa.string()),
     ])
-    table = pa.table({
-        "doc_id": [r[0] for r in rows],
-        "tokens": [r[1] for r in rows],
-        "n_tok": [r[2] for r in rows],
-        "source": [r[3] for r in rows],
-    }, schema=schema)
-    pq.write_table(table, os.path.join(path, "part-0.parquet"),
-                   row_group_size=row_group_docs)
+    rng = np.random.default_rng(seed)
+    templates = _gen_templates(rng)
+    buf = {k: [] for k in ("doc_id", "tokens", "n_tok", "source")}
+    with pq.ParquetWriter(os.path.join(path, "part-0.parquet"),
+                          schema) as writer:
+
+        def flush():
+            if not buf["doc_id"]:
+                return
+            writer.write_table(pa.table(buf, schema=schema),
+                               row_group_size=row_group_docs)
+            for v in buf.values():
+                v.clear()
+
+        for i in range(num_rows):
+            doc_id, toks, n_tok, source = _gen_row(i, rng, templates)
+            buf["doc_id"].append(doc_id)
+            buf["tokens"].append(toks)
+            buf["n_tok"].append(n_tok)
+            buf["source"].append(source)
+            if (i + 1) % chunk_docs == 0:
+                flush()
+        flush()
     with open(os.path.join(path, "_SUCCESS"), "w"):
         pass
     return path
