@@ -227,47 +227,55 @@ def main() -> None:
     # tombstones a DISJOINT 100-id batch: re-deleting the same ids is
     # an idempotent no-op, which would make later trials artificially
     # cheap under best-of-3.
-    import shutil
+    #
+    # IBP_BENCH_SKIP_STORE=1 skips this pair: the store build needs a
+    # staged input copy + the snapshot on disk simultaneously (~1.7x
+    # the corpus's raw bytes) — at oversized scale points (100x on
+    # this sandbox's ~79 GB scratch) that exceeds the disk budget, and
+    # the durable verbs are measured there by scripts/run_pipeline.py
+    # (--delete-rows/--as-of) against its full-size snapshot instead.
+    if os.environ.get("IBP_BENCH_SKIP_STORE") != "1":
+        import shutil
 
-    from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
+        from invariantbitpacking_spark.plans.pipeline import CompressionPipeline
 
-    store_dir = os.path.join(
-        os.environ.get("IBP_DATA_DIR", "/tmp/ibp_spark_data"),
-        f"bench_store_{NUM_ROWS}")
-    shutil.rmtree(store_dir, ignore_errors=True)
-    pipe = CompressionPipeline(spark, store_dir, num_buckets=CPUS,
-                               wave_buckets=CPUS)
-    snap = "bench-snap"
-    pipe.run(toks, snap)
-    seq0 = pipe._snapshot_max_seq(snap)
-    victims = [r[0] for r in
-               toks.select("doc_id").sort("doc_id").limit(300).collect()]
-    batch_iter = iter([victims[i:i + 100] for i in range(0, 300, 100)])
+        store_dir = os.path.join(
+            os.environ.get("IBP_DATA_DIR", "/tmp/ibp_spark_data"),
+            f"bench_store_{NUM_ROWS}")
+        shutil.rmtree(store_dir, ignore_errors=True)
+        pipe = CompressionPipeline(spark, store_dir, num_buckets=CPUS,
+                                   wave_buckets=CPUS)
+        snap = "bench-snap"
+        pipe.run(toks, snap)
+        seq0 = pipe._snapshot_max_seq(snap)
+        victims = [r[0] for r in
+                   toks.select("doc_id").sort("doc_id").limit(300).collect()]
+        batch_iter = iter([victims[i:i + 100] for i in range(0, 300, 100)])
 
-    def run_delete():
-        ids = spark.createDataFrame([(d,) for d in next(batch_iter)],
-                                    "doc_id string")
-        pipe.delete(ids, snap, strategy="tombstone")
-        return 0
+        def run_delete():
+            ids = spark.createDataFrame([(d,) for d in next(batch_iter)],
+                                        "doc_id string")
+            pipe.delete(ids, snap, strategy="tombstone")
+            return 0
 
-    timed("q9_tombstone_delete", run_delete)
-    extras["tombstone_docs_per_trial"] = 100
+        timed("q9_tombstone_delete", run_delete)
+        extras["tombstone_docs_per_trial"] = 100
 
-    tt_ids = victims[:10]
-    pipe.fetch(tt_ids, snap, as_of_seq=seq0).count()  # warm
+        tt_ids = victims[:10]
+        pipe.fetch(tt_ids, snap, as_of_seq=seq0).count()  # warm
 
-    def run_tt_fetch():
-        # as-of the pre-delete commit: all 10 tombstoned docs visible
-        return pipe.fetch(tt_ids, snap, as_of_seq=seq0).count()
+        def run_tt_fetch():
+            # as-of the pre-delete commit: all 10 tombstoned docs visible
+            return pipe.fetch(tt_ids, snap, as_of_seq=seq0).count()
 
-    tt_rows = timed("q10_time_travel_fetch", run_tt_fetch)
-    assert tt_rows == 10, f"time-travel fetch returned {tt_rows} rows"
-    extras["time_travel_fetch_docs"] = int(tt_rows)
+        tt_rows = timed("q10_time_travel_fetch", run_tt_fetch)
+        assert tt_rows == 10, f"time-travel fetch returned {tt_rows} rows"
+        extras["time_travel_fetch_docs"] = int(tt_rows)
 
-    # the staged input copy and the store itself are bench scaffolding;
-    # drop them so a 100x run's disk peak is the live artifacts only
-    pipe.cleanup_staging(snap)
-    shutil.rmtree(store_dir, ignore_errors=True)
+        # the staged input copy and the store itself are bench scaffolding;
+        # drop them so a 100x run's disk peak is the live artifacts only
+        pipe.cleanup_staging(snap)
+        shutil.rmtree(store_dir, ignore_errors=True)
 
     # external-codec size comparison (reference Tables 1-2 role,
     # src/compress_test.cu:125-137: IBP ratio vs nvComp LZ4/Snappy/Zstd
