@@ -32,6 +32,16 @@ def get_spark(app_name: str = "invariantbitpacking_spark",
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
     )
+    # escape hatch for per-run conf without code edits, e.g.
+    #   IBP_SPARK_CONF="spark.python.worker.reuse=false;spark.speculation=true"
+    # (worker reuse is the knob for the rare JVM<->python Arrow socket
+    # deadlock a reused worker can race into on long 100x runs: both
+    # sides end up blocked in read; a fresh worker per task sidesteps
+    # the reuse handoff entirely at a small fork cost)
+    for kv in filter(None, (s.strip() for s in
+                            os.environ.get("IBP_SPARK_CONF", "").split(";"))):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     _ship_package(spark)
     return spark
