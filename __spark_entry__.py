@@ -1256,6 +1256,28 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (dataops.pii_scrub) exercised end-to-end: the
+    synthetic corpus carries no natural PII, so the query first
+    injects a deterministic email + IPv4 + phone per document
+    (derived from doc_id, replayed verbatim by the oracle), then
+    scrubs.  Every count is >= 1 and the scrubbed text is value-hash
+    compared, so both the matching and the replacement are gated."""
+    from invariantbitpacking_spark.functions.dataops import pii_scrub
+
+    docs = _docs(spark, sf_dir)
+    did = F.col("doc_id").cast("string")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did, F.lit("@mail.example.com"),
+        F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"))
+    return pii_scrub(docs.withColumn("text", injected))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "tokenize_documents": q_tokenize_documents,
@@ -1305,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
+        "pii_scrub": q_pii_scrub,
         "multimodal_featurize": q_multimodal_featurize,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_real": q_multimodal_real,
@@ -1828,6 +1851,8 @@ FROM ranked WHERE rank <= {k}
 
 
 def oracle_sql() -> dict[str, str]:
+    from invariantbitpacking_spark.functions import dataops as _dataops
+
     return {
         "simhash": _simhash_replay_sql(),
         "ann_lsh_topk": _ann_lsh_replay_sql(),
@@ -2508,4 +2533,42 @@ def oracle_sql() -> dict[str, str]:
                        AS marker_hits
             FROM s
         """,
+        # The regex literals are substituted from dataops.PII_*_RE so
+        # the oracle replays the exact patterns the Spark plan compiles
+        # (both engines interpret this regex subset identically).
+        "pii_scrub": r"""
+            WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                              text || ' contact user'
+                                   || CAST(doc_id AS VARCHAR)
+                                   || '@mail.example.com'
+                                   || ' from 10.0.'
+                                   || CAST(doc_id % 256 AS VARCHAR)
+                                   || '.7 call 555-'
+                                   || lpad(CAST(doc_id % 1000 AS VARCHAR),
+                                           3, '0')
+                                   || '-'
+                                   || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                           4, '0') AS text
+                       FROM documents),
+            s1 AS (SELECT doc_id,
+                          len(regexp_extract_all(text, '__EMAIL__'))
+                              AS n_email,
+                          regexp_replace(text, '__EMAIL__', '<EMAIL>', 'g')
+                              AS t1
+                   FROM t),
+            s2 AS (SELECT doc_id, n_email,
+                          len(regexp_extract_all(t1, '__IPV4__')) AS n_ipv4,
+                          regexp_replace(t1, '__IPV4__', '<IP>', 'g') AS t2
+                   FROM s1)
+            SELECT doc_id,
+                   CAST(n_email AS INT) AS n_email,
+                   CAST(n_ipv4 AS INT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(t2, '__PHONE__')) AS INT)
+                       AS n_phone,
+                   regexp_replace(t2, '__PHONE__', '<PHONE>', 'g')
+                       AS scrubbed
+            FROM s2
+        """.replace("__EMAIL__", _dataops.PII_EMAIL_RE)
+           .replace("__IPV4__", _dataops.PII_IPV4_RE)
+           .replace("__PHONE__", _dataops.PII_PHONE_RE),
     }

@@ -709,6 +709,38 @@ def lang_id(docs: DataFrame) -> DataFrame:
                     best_score.alias("marker_hits"))
 
 
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact the three bread-and-butter PII shapes a pre-training
+    privacy pass removes — email addresses, dotted-quad IPv4
+    addresses, and NNN-NNN-NNNN phone numbers — and report per-doc
+    match counts alongside the scrubbed text.
+
+    Emails are replaced first so a digits-only domain can never be
+    re-matched as an IPv4.  Pure per-row Catalyst ``regexp_count`` /
+    ``regexp_replace`` expressions (JVM codegen, no UDF, no shuffle):
+    the patterns use only the regex subset Java and RE2 interpret
+    identically (char classes, ``\\b``, ``(?:)``, bounded repeats), so
+    the DuckDB oracle replays them verbatim."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(PII_EMAIL_RE))
+    s1 = F.regexp_replace(t, PII_EMAIL_RE, "<EMAIL>")
+    n_ipv4 = F.regexp_count(s1, F.lit(PII_IPV4_RE))
+    s2 = F.regexp_replace(s1, PII_IPV4_RE, "<IP>")
+    n_phone = F.regexp_count(s2, F.lit(PII_PHONE_RE))
+    s3 = F.regexp_replace(s2, PII_PHONE_RE, "<PHONE>")
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_email.cast("int").alias("n_email"),
+        n_ipv4.cast("int").alias("n_ipv4"),
+        n_phone.cast("int").alias("n_phone"),
+        s3.alias("scrubbed"))
+
+
 # ---------------------------------------------------------------------------
 # sequence packing (GPT-style concat-and-chop)
 # ---------------------------------------------------------------------------

@@ -337,3 +337,34 @@ def test_repetition_stats_hand_computed(spark):
     si = out["single"]
     assert (si["n_words"], si["n_bigrams"]) == (1, 0)
     assert si["top_bigram_frac"] == 0.0 and si["dup_bigram_frac"] == 0.0
+
+
+def test_pii_scrub_hand_computed(spark):
+    """Email/IPv4/phone redaction on hand-built docs: counts, the
+    replacement markers, and the no-PII identity case."""
+    rows = [
+        ("mail", "write to alice.b+spam@sub.example.org today"),
+        ("ip", "server 192.168.0.1 and 10.0.255.7 are up"),
+        ("phone", "call 555-867-5309 now"),
+        ("mixed", "bob@x.io at 1.2.3.4 ph 123-456-7890"),
+        ("clean", "no private data here"),
+        # an IPv4 inside an email domain must be eaten by the email pass
+        ("tricky", "x@1.2.3.com stays one email"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in dataops.pii_scrub(docs).collect()}
+    assert out["mail"]["n_email"] == 1
+    assert out["mail"]["scrubbed"] == "write to <EMAIL> today"
+    assert out["ip"]["n_ipv4"] == 2
+    assert out["ip"]["scrubbed"] == "server <IP> and <IP> are up"
+    assert out["phone"]["n_phone"] == 1
+    assert out["phone"]["scrubbed"] == "call <PHONE> now"
+    m = out["mixed"]
+    assert (m["n_email"], m["n_ipv4"], m["n_phone"]) == (1, 1, 1)
+    assert m["scrubbed"] == "<EMAIL> at <IP> ph <PHONE>"
+    c = out["clean"]
+    assert (c["n_email"], c["n_ipv4"], c["n_phone"]) == (0, 0, 0)
+    assert c["scrubbed"] == "no private data here"
+    t = out["tricky"]
+    assert (t["n_email"], t["n_ipv4"]) == (1, 0)
+    assert t["scrubbed"] == "<EMAIL> stays one email"

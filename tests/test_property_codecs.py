@@ -3,7 +3,7 @@ family — arbitrary token values, lengths, masks (mirrors and extends
 the reference's generated-tensor strategy, SURVEY.md §5)."""
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from invariantbitpacking_spark.codecs import fsst, lightweight as lw, numpy_ref as nr
 
@@ -289,17 +289,50 @@ def test_jpeg_const_blocks_exact_property(w, h, seed):
     np.testing.assert_array_equal(img, px)
 
 
+def _jpeg_math_reference(px, w, h, ncomp, quality=0):
+    """Exact replay of the JPEG transform chain OUTSIDE the entropy
+    coder: YCbCr round, per-8x8 DCT, coefficient quantization round,
+    dequantize, IDCT round, inverse color round.  make_jpeg ->
+    decode_image must reproduce this byte-for-byte — any entropy-path
+    defect (Huffman, stuffing, DC prediction, EOB/ZRL runs) breaks
+    the equality."""
+    import numpy as np
+    from invariantbitpacking_spark.functions import multimodal as mm
+
+    q = mm.jpeg_quant_table(quality).reshape(8, 8)
+    ycc = mm._rgb_to_ycbcr(px) if ncomp == 3 else px[..., None]
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = []
+    for ci in range(ncomp):
+        plane = np.pad(ycc[..., ci], ((0, ph - h), (0, pw - w)),
+                       mode="edge").astype(np.float64)
+        blocks = (plane.reshape(ph // 8, 8, pw // 8, 8)
+                  .transpose(0, 2, 1, 3).reshape(-1, 8, 8))
+        cf = np.round(mm._dct2(blocks - 128.0) / q)
+        spat = (np.round(mm._idct2(cf * q) + 128.0)
+                .clip(0, 255).astype(np.uint8))
+        rec = (spat.reshape(ph // 8, pw // 8, 8, 8)
+               .transpose(0, 2, 1, 3).reshape(ph, pw))
+        planes.append(rec[:h, :w])
+    out = np.stack(planes, axis=-1)
+    return mm._ycbcr_to_rgb(out) if ncomp == 3 else out[..., 0]
+
+
 @settings(max_examples=30, deadline=None)
 @given(st.integers(min_value=1, max_value=32),
        st.integers(min_value=1, max_value=32),
        st.sampled_from([1, 3]),
        st.integers(min_value=0, max_value=2**32 - 1))
+@example(w=26, h=12, ncomp=3, seed=0)  # found err 4 > the old tol 3
 def test_jpeg_q0_near_lossless_property(w, h, ncomp, seed):
-    """Random noise at quality 0: the only loss is coefficient
-    rounding (plus two YCbCr rounding passes for RGB), so every pixel
-    lands within 1 (gray) / 3 (RGB) of the original — exercises the
-    full entropy path (byte stuffing, EOB, DC prediction) on the
-    worst-case high-entropy input."""
+    """Random noise at quality 0 on the worst-case high-entropy input.
+    The strong check: decode equals the exact out-of-band transform
+    replay bit-for-bit (the entropy path is lossless).  The loss vs
+    the ORIGINAL is only rounding, whose worst case at a block corner
+    is ~0.5*(sum |dct basis|)^2 = 7.4 per plane (chroma additionally
+    amplified 1.772x into RGB) — hypothesis found a real err-4 RGB
+    pixel — so the absolute bound is tail-safe (4 gray / 8 RGB) with a
+    tight mean bound for the typical sub-pixel rounding."""
     import numpy as np
     from invariantbitpacking_spark.functions import multimodal as mm
 
@@ -309,18 +342,28 @@ def test_jpeg_q0_near_lossless_property(w, h, ncomp, seed):
     img, meta = mm.decode_image(mm.make_jpeg(w, h, px, quality=0))
     assert (meta["w"], meta["h"]) == (w, h)
     assert img.shape == shape
-    tol = 1 if ncomp == 1 else 3
-    assert np.abs(img.astype(int) - px.astype(int)).max() <= tol
+    np.testing.assert_array_equal(
+        img, _jpeg_math_reference(px, w, h, ncomp))
+    err = np.abs(img.astype(int) - px.astype(int))
+    assert err.max() <= (4 if ncomp == 1 else 8)
+    assert err.mean() <= 1.0
 
 
 @settings(max_examples=20, deadline=None)
 @given(st.sampled_from([1, 2, 4, 8]),
        st.integers(min_value=0, max_value=2**32 - 1))
+@example(quality=4, seed=6717)  # found err 5 > the old max(3, quality)
 def test_jpeg_lossy_smooth_bounded_property(quality, seed):
     """Lossy qualities on a smooth (low-frequency) raster: the ramp
     quant table zeroes high frequencies — exercising EOB and ZRL runs
-    — while a smooth image has little energy there, so the error stays
-    small (<= quality) and the file shrinks vs quality 0."""
+    — while a smooth image has little energy there.  The strong check
+    is exact: decode equals the out-of-band transform replay at this
+    quality, so the entropy path is lossless even with long zero runs.
+    The error bound vs the ORIGINAL is empirical: low-frequency quant
+    steps are 1+(u+v)*quality, so rounding alone can move a pixel by
+    more than `quality` (hypothesis found err 5 at quality 4) —
+    2*quality+2 holds with margin on this raster family.  The file
+    must still shrink vs quality 0."""
     import numpy as np
     from invariantbitpacking_spark.functions import multimodal as mm
 
@@ -331,5 +374,7 @@ def test_jpeg_lossy_smooth_bounded_property(quality, seed):
     px = (127 + 100 * np.sin(xx + ph) * np.cos(yy)).astype(np.uint8)
     f = mm.make_jpeg(48, 32, px, quality=quality)
     img, _ = mm.decode_image(f)
-    assert np.abs(img.astype(int) - px.astype(int)).max() <= max(3, quality)
+    np.testing.assert_array_equal(
+        img, _jpeg_math_reference(px, 48, 32, 1, quality=quality))
+    assert np.abs(img.astype(int) - px.astype(int)).max() <= 2 * quality + 2
     assert len(f) < len(mm.make_jpeg(48, 32, px, quality=0))
