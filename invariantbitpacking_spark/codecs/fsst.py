@@ -63,12 +63,18 @@ class SymbolTable:
 
 def _windows8(flat: np.ndarray) -> np.ndarray:
     """w8[i] = bytes i..i+7 big-endian (zero-padded past the end), so
-    the first-L-bytes key at i is ``w8[i] >> (8*(8-L))``."""
+    the first-L-bytes key at i is ``w8[i] >> (8*(8-L))``.  One uint64
+    cast of the padded input, then in-place shift/or over views — no
+    per-byte-lane temporaries (these are 8n-byte arrays; allocator
+    traffic here dominated the encode profile)."""
     n = flat.size
-    ext = np.concatenate([flat, np.zeros(8, np.uint8)])
+    ext = np.empty(n + 8, np.uint64)
+    ext[:n] = flat
+    ext[n:] = 0
     w8 = np.zeros(n, np.uint64)
     for k in range(8):
-        w8 = (w8 << np.uint64(8)) | ext[k:k + n].astype(np.uint64)
+        np.left_shift(w8, np.uint64(8), out=w8)
+        np.bitwise_or(w8, ext[k:k + n], out=w8)
     return w8
 
 

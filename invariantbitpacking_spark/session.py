@@ -13,6 +13,32 @@ import os
 from pyspark.sql import SparkSession
 
 
+# First-touch page faults can cost ~100us each on snapshot-restored /
+# memory-overcommitted VMs (measured on this sandbox: np.arange of
+# 8.4M elements takes 992 ms on a fresh buffer, 10 ms on a reused
+# one).  glibc's malloc mmap/munmaps every allocation above ~32 MB, so
+# each large numpy temporary in the codec hot loops re-faults all its
+# pages on every batch.  Huge mmap/trim thresholds keep big buffers on
+# the brk heap, faulting each page ONCE per worker lifetime; the cost
+# is that a worker retains its high-water mark (bounded by the codec
+# mass caps, ~1-2 GB).  Must be in the environment BEFORE a process
+# starts, so it is exported here (pre-JVM: pyspark daemons and their
+# forked workers inherit it) and via spark.executorEnv for real
+# clusters.  IBP_NO_MALLOC_TUNING=1 opts out.
+_MALLOC_TUNING = {
+    "MALLOC_MMAP_THRESHOLD_": str(1 << 34),
+    "MALLOC_TRIM_THRESHOLD_": str(1 << 34),
+}
+
+
+def _malloc_tuning() -> dict[str, str]:
+    if os.environ.get("IBP_NO_MALLOC_TUNING") == "1":
+        return {}
+    for k, v in _MALLOC_TUNING.items():
+        os.environ.setdefault(k, v)
+    return _MALLOC_TUNING
+
+
 def get_spark(app_name: str = "invariantbitpacking_spark",
               cores: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
@@ -32,6 +58,8 @@ def get_spark(app_name: str = "invariantbitpacking_spark",
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
     )
+    for k, v in _malloc_tuning().items():
+        builder = builder.config(f"spark.executorEnv.{k}", v)
     # escape hatch for per-run conf without code edits, e.g.
     #   IBP_SPARK_CONF="spark.python.worker.reuse=false;spark.speculation=true"
     # (worker reuse is the knob for the rare JVM<->python Arrow socket
