@@ -26,6 +26,28 @@ SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.1
 NUM_ROWS = int(os.environ.get("IBP_BENCH_ROWS", str(max(2000, int(400_000 * SF)))))
 
 
+def box_probe(mb: int = 128) -> dict:
+    """Memory-subsystem state at run time, embedded in the bench JSON
+    so walls are interpretable: this sandbox's host intermittently
+    degrades first-touch page faults ~100x and even warm bandwidth
+    ~15x (BASELINE.md 'box drift mechanism'), which inflates every
+    query wall with no code change.  fault_mbps = filling a FRESH
+    buffer (page faults in the path); warm_mbps = refilling the same
+    pages (pure memory bandwidth)."""
+    import numpy as np
+    import time
+
+    n = mb * (1 << 20) // 8
+    t0 = time.perf_counter()
+    buf = np.empty(n, np.int64)
+    buf.fill(1)
+    fault = mb / (time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    buf.fill(2)
+    warm = mb / (time.perf_counter() - t0)
+    return {"fault_mbps": round(fault, 1), "warm_mbps": round(warm, 1)}
+
+
 def external_codec_sizes(spark, toks, n_tokens: int) -> dict:
     """bytes/token of the tokens column under parquet's built-in codecs
     (dictionary/RLE + general-purpose compressor) — the honest external
@@ -67,6 +89,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    extras.update({f"box_{k}_pre": v for k, v in box_probe().items()})
 
     def timed(name: str, fn):
         # best-of-3: the shared VM shows multi-x run-to-run drift
@@ -283,6 +306,7 @@ def main() -> None:
     # built-in codec, bytes/token from on-disk file sizes.  Sizes are
     # deterministic per corpus -> cached next to the data dir.
     extras.update(external_codec_sizes(spark, toks, int(tok_sum)))
+    extras.update({f"box_{k}_post": v for k, v in box_probe().items()})
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
