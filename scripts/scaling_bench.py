@@ -48,8 +48,15 @@ def trial(cores: int, rows: int) -> dict:
         return time.perf_counter() - t0
 
     run(ibp.encode_ibp(toks, params))  # warm-up (fills caches, JIT)
+    from bench import box_probe
+
     out = {
         "cores": cores, "tokens": n_tokens,
+        # box state per trial: a degraded first-touch fault path (see
+        # BASELINE.md) punishes the high-core level hardest — 4x the
+        # workers fault their working sets through one slow host path
+        # at spawn — so efficiency numbers need this context.
+        "box": box_probe(32),
         "encode_ibp_sec": round(run(ibp.encode_ibp(toks, params)), 3),
         "encode_auto_sec": round(run(selector.encode_auto(toks, params)), 3),
     }
