@@ -100,6 +100,10 @@ def main() -> None:
                 toks / min(r["encode_ibp_sec"] for r in results[lv]), 1),
             "auto_tokens_per_sec": round(
                 toks / min(r["encode_auto_sec"] for r in results[lv]), 1),
+            "box_fault_mbps": [r["box"]["fault_mbps"]
+                               for r in results[lv] if "box" in r],
+            "box_warm_mbps": [r["box"]["warm_mbps"]
+                              for r in results[lv] if "box" in r],
         }
     lo, hi = summary[levels[0]], summary[levels[1]]
     effs = {
