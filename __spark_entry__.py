@@ -891,6 +891,17 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(_docs(spark, sf_dir))
 
 
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-trigram Jaccard near-dup pairs (>=0.7) via prefix
+    filtering; the oracle brute-forces the full inverted-index join in
+    DuckDB, so any prefix-filter recall loss (there must be none) or
+    false positive would hash-mismatch."""
+    from invariantbitpacking_spark.functions.dataops import ngram_jaccard_pairs
+
+    p = ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.7)
+    return p.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-jaccard verification; the
     oracle recomputes the full >=0.5 pair set via an inverted shingle
@@ -1315,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_window_stats": q_event_window_stats,
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
         "simhash_shape": q_simhash_shape,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2245,6 +2257,30 @@ def oracle_sql() -> dict[str, str]:
                          ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
                   FROM c)
             SELECT CAST(rank AS INT) AS rank, tok, cnt FROM r WHERE rank <= 20
+        """,
+        "ngram_jaccard_pairs": """
+            WITH pos AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+                     UNNEST(generate_series(1, length(text) - 2)) AS i
+              FROM documents WHERE length(text) >= 3
+            ),
+            g AS (
+              SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 3) AS gram
+              FROM pos
+            ),
+            s AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY 1),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+              FROM g a JOIN g b
+                ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(c * 1.0 / (sa.ng + sb.ng - c), 6) AS jaccard
+            FROM inter
+            JOIN s sa ON sa.doc_id = inter.doc_a
+            JOIN s sb ON sb.doc_id = inter.doc_b
+            WHERE c * 1.0 / (sa.ng + sb.ng - c) >= 0.7
         """,
         "minhash_lsh_pairs": """
             WITH t AS (

@@ -169,6 +169,78 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
     return ok_small.union(ok_hub).union(ok_retry).distinct()
 
 
+def _char_ngrams(col, n: int = 3):
+    """Distinct character n-grams of ``col`` as an array<string>.
+    Callers must pre-filter ``length(col) >= n``: Spark's
+    ``sequence(1, k)`` DESCENDS when k < 1, which would fabricate
+    grams for too-short strings instead of yielding an empty set."""
+    return F.array_distinct(F.transform(
+        F.sequence(F.lit(1), F.length(col) - (n - 1)),
+        lambda i: col.substr(i, F.lit(n))))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3,
+                        threshold: float = 0.7) -> DataFrame:
+    """EXACT character-n-gram Jaccard near-duplicate pairs via
+    AllPairs/PPJoin-style prefix filtering — the deterministic sibling
+    of :func:`minhash_lsh_pairs` (which trades a probabilistic band
+    collision for a smaller candidate set).
+
+    Candidate generation is an equi-join on PREFIX grams only: grams
+    are globally ordered by (document frequency ASC, gram), and a doc
+    with ``g`` grams indexes just its ``g - floor(t*g) + 1`` rarest
+    ones.  Two sets with Jaccard >= t must share a prefix gram under
+    that order (their overlap >= ceil(t*max(|A|,|B|)) cannot fit in
+    either suffix), so recall is exactly 1.0 — ``floor`` rather than
+    the tight ``ceil`` keeps the guarantee immune to float rounding in
+    ``t*g``.  High-frequency grams (the skew risk of any posting-list
+    join) sort LAST and thus fall out of every prefix: frequency
+    ordering is simultaneously the candidate-minimizer and the skew
+    guard.  Verification joins the full gram arrays for surviving
+    pairs with the same size-ratio prune as MinHash
+    (``jaccard <= min/max`` of set sizes), then filters on the exact
+    intersection — emitted pairs are exact, complete, and RNG-free.
+
+    At 100 TB: grams/df/prefix are one exploded projection + one
+    hash-partitioned groupBy + a per-doc window (partitioned by
+    doc_id, never global); the candidate join keys are rare-by-
+    construction so posting lists stay short, and residual hot keys
+    are AQE skew-join territory."""
+    base = (docs.filter(F.length("text") >= n)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    _char_ngrams(F.col("text"), n).alias("grams")))
+    sets = base.select("doc_id", "grams", F.size("grams").alias("ng"))
+    grams = sets.select("doc_id", "ng", F.explode("grams").alias("gram"))
+    dfreq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    prefix = (grams.join(dfreq, "gram")
+              .withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= F.col("ng")
+                      - F.floor(F.lit(threshold) * F.col("ng")) + 1)
+              .select("doc_id", "gram"))
+    cand = (prefix.alias("a")
+            .join(prefix.alias("b"),
+                  (F.col("a.gram") == F.col("b.gram"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    withsets = (cand
+                .join(sets.select(F.col("doc_id").alias("doc_a"),
+                                  F.col("grams").alias("g_a"),
+                                  F.col("ng").alias("na")), "doc_a")
+                .join(sets.select(F.col("doc_id").alias("doc_b"),
+                                  F.col("grams").alias("g_b"),
+                                  F.col("ng").alias("nb")), "doc_b")
+                .filter(F.least("na", "nb")
+                        >= threshold * F.greatest("na", "nb")))
+    inter = F.size(F.array_intersect("g_a", "g_b"))
+    union = F.col("na") + F.col("nb") - inter
+    return (withsets
+            .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold))
+
+
 FNV_BASIS = np.uint64(0xCBF29CE484222325)
 FNV_PRIME = np.uint64(0x100000001B3)
 

@@ -368,3 +368,50 @@ def test_pii_scrub_hand_computed(spark):
     t = out["tricky"]
     assert (t["n_email"], t["n_ipv4"]) == (1, 0)
     assert t["scrubbed"] == "<EMAIL> stays one email"
+
+
+def test_ngram_jaccard_exact_vs_bruteforce(spark, planted_docs):
+    """Prefix filtering must be EXACT: the emitted pair set equals the
+    brute-force all-pairs char-trigram Jaccard at the same threshold
+    (completeness AND soundness), values included."""
+    t = 0.5
+    rows = planted_docs.collect()
+    sets = {r["doc_id"]: {r["text"][i:i + 3]
+                          for i in range(len(r["text"]) - 2)}
+            for r in rows}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= t:
+                want[(min(a, b), max(a, b))] = j
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in dataops.ngram_jaccard_pairs(
+               planted_docs, n=3, threshold=t).collect()}
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12, k
+
+
+def test_ngram_jaccard_identical_docs_hit_one(spark):
+    """k identical docs -> all k(k-1)/2 pairs at jaccard exactly 1.0;
+    a short-but-valid doc pairs with nothing."""
+    rows = [(f"d{i}", "the quick brown fox jumps over the lazy dog")
+            for i in range(5)] + [("tiny", "abc")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = dataops.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert len(got) == 10
+    assert all(r["jaccard"] == 1.0 for r in got)
+    assert all("tiny" not in (r["doc_a"], r["doc_b"]) for r in got)
+
+
+def test_ngram_jaccard_short_docs_excluded(spark):
+    """Docs shorter than n never fabricate grams (Spark's descending
+    sequence(1, k<1) pitfall) and never pair."""
+    docs = spark.createDataFrame(
+        [("a", "xy"), ("b", "xy"), ("c", ""), ("d", "xyz"), ("e", "xyz")],
+        "doc_id string, text string")
+    got = dataops.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {("d", "e")}
