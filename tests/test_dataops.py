@@ -415,3 +415,54 @@ def test_ngram_jaccard_short_docs_excluded(spark):
         "doc_id string, text string")
     got = dataops.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in got} == {("d", "e")}
+
+
+def _prefix_candidates(sets, t):
+    """Pure-python replay of ngram_jaccard_pairs' candidate stage:
+    global (df, gram) order, per-doc prefix of g - floor(t*g) + 1
+    rarest grams, candidates = pairs sharing a prefix gram."""
+    import math
+    from collections import Counter
+
+    df = Counter(g for s in sets.values() for g in s)
+    order = {g: (df[g], g) for g in df}
+    cands = set()
+    index = {}
+    for d, s in sets.items():
+        g = len(s)
+        p = g - math.floor(t * g) + 1
+        for gram in sorted(s, key=order.__getitem__)[:p]:
+            for other in index.get(gram, ()):
+                cands.add((min(d, other), max(d, other)))
+            index.setdefault(gram, []).append(d)
+    return cands
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.data())
+def test_prefix_filter_candidate_completeness(data):
+    """The load-bearing claim of ngram_jaccard_pairs: for ANY corpus
+    and ANY threshold, every pair with Jaccard >= t shares a prefix
+    gram — candidate generation has recall exactly 1.0.  Random set
+    families stress ties in the (df, gram) order, singleton sets,
+    full-overlap clusters, and thresholds near float-rounding edges."""
+    universe = [f"g{i}" for i in range(12)]
+    ndocs = data.draw(st.integers(2, 8))
+    sets = {}
+    for i in range(ndocs):
+        s = data.draw(st.sets(st.sampled_from(universe), min_size=1,
+                              max_size=10))
+        sets[f"d{i}"] = s
+    t = data.draw(st.sampled_from(
+        [0.3, 0.5, 1 / 3, 2 / 3, 0.7, 0.8, 0.9, 0.999, 1.0]))
+    cands = _prefix_candidates(sets, t)
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= t:
+                assert (a, b) in cands, (sets[a], sets[b], t, j)
