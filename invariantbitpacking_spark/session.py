@@ -34,9 +34,13 @@ _MALLOC_TUNING = {
 def _malloc_tuning() -> dict[str, str]:
     if os.environ.get("IBP_NO_MALLOC_TUNING") == "1":
         return {}
+    out = {}
     for k, v in _MALLOC_TUNING.items():
         os.environ.setdefault(k, v)
-    return _MALLOC_TUNING
+        # ship what's actually in force: a user's own pre-exported
+        # threshold wins locally, so executors must see the same value
+        out[k] = os.environ[k]
+    return out
 
 
 def get_spark(app_name: str = "invariantbitpacking_spark",
