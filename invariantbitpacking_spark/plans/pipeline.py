@@ -673,9 +673,23 @@ class CompressionPipeline:
                 rows.append((snapshot_id, b, "committed",
                              0, 0, 0, 0, "{}", 0,
                              wall / max(len(wave), 1), now, seq))
-        (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-         .coalesce(1).write.mode("append").parquet(self.lineage_dir))
+        self._append_lineage_rows(rows)
         return stats
+
+    def _append_lineage_rows(self, rows: list) -> None:
+        """One lineage commit = ONE parquet file, written from a
+        single-partition DataFrame.  ``createDataFrame(rows)`` slices
+        the tiny driver-side list into defaultParallelism pickled
+        partitions; the previous ``coalesce(1)`` then evaluated ALL of
+        them sequentially through the Python runner inside the one
+        coalesced task — ~115 ms of worker round-trip per slice, ~3.5 s
+        of pure overhead per commit at 32 cores (measured: the same
+        one-row append is 3.85 s via coalesce(1), 0.29 s via a 1-slice
+        parallelize).  Every mutation verb pays this once per wave, so
+        it dominated the tombstone-delete wall."""
+        (self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(rows, 1), LINEAGE_SCHEMA)
+         .write.mode("append").parquet(self.lineage_dir))
 
     # -- incremental ingest --------------------------------------------------
 
@@ -1020,8 +1034,7 @@ class CompressionPipeline:
             out.append({k: d[k] for k in
                         ("docs", "tokens", "raw_bytes", "comp_bytes")})
         if rows:
-            (self.spark.createDataFrame(rows, LINEAGE_SCHEMA)
-             .coalesce(1).write.mode("append").parquet(self.lineage_dir))
+            self._append_lineage_rows(rows)
         return out
 
     def compact_lineage(self) -> int:
