@@ -902,6 +902,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the 'eval set' is the corpus's first
+    5 documents by doc_id string order (deterministic, replayed by the
+    oracle), word trigrams (the corpus's docs are ~50 words, so the
+    published n=13 would only self-match).  Every doc gets a matched-
+    gram count and a 0/1 flag — 178/500 contaminated at sf0.01, so
+    both branches of the flag are value-hash gated."""
+    from invariantbitpacking_spark.functions.dataops import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = (docs.select(F.col("doc_id").cast("string").alias("d"), "text")
+             .sort("d").limit(5).select("text"))
+    return decontaminate(docs, bench, n=3)
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs with exact-jaccard verification; the
     oracle recomputes the full >=0.5 pair set via an inverted shingle
@@ -1327,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "decontaminate": q_decontaminate,
         "simhash": q_simhash,
         "simhash_shape": q_simhash_shape,
         "ann_cosine_topk": q_ann_cosine_topk,
@@ -2257,6 +2273,35 @@ def oracle_sql() -> dict[str, str]:
                          ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
                   FROM c)
             SELECT CAST(rank AS INT) AS rank, tok, cnt FROM r WHERE rank <= 20
+        """,
+        "decontaminate": """
+            WITH bdocs AS (
+              SELECT text FROM (SELECT text, CAST(doc_id AS VARCHAR) AS d
+                                FROM documents ORDER BY d LIMIT 5)
+            ),
+            bg AS (
+              SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS gram
+              FROM (SELECT string_split(text, ' ') AS w FROM bdocs),
+                   UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+              WHERE len(w) >= 3
+            ),
+            dg AS (
+              SELECT DISTINCT d.doc_id,
+                     array_to_string(d.w[i:i+2], ' ') AS gram
+              FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                           string_split(text, ' ') AS w
+                    FROM documents) d,
+                   UNNEST(generate_series(1, len(d.w) - 2)) AS t(i)
+              WHERE len(d.w) >= 3
+            ),
+            hits AS (SELECT doc_id, COUNT(*) AS m
+                     FROM dg JOIN bg USING (gram) GROUP BY 1)
+            SELECT a.doc_id,
+                   CAST(coalesce(h.m, 0) AS INT) AS matched_ngrams,
+                   CAST(coalesce(h.m, 0) > 0 AS INT) AS contaminated
+            FROM (SELECT CAST(doc_id AS VARCHAR) AS doc_id
+                  FROM documents) a
+            LEFT JOIN hits h USING (doc_id)
         """,
         "ngram_jaccard_pairs": """
             WITH pos AS (

@@ -36,13 +36,19 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def _word_shingles(col, n: int = 3):
-    """Word n-gram shingles as an array<string> (distinct)."""
+    """Word n-gram shingles as an array<string> (distinct).  Documents
+    with fewer than n words yield an EMPTY array: ``sequence(1, k)``
+    DESCENDS for k < 1 ([1, 0] — and slice() at start 0 is a runtime
+    error), so the too-short case is computed on a clamped sequence and
+    then guarded out entirely."""
     words = F.split(col, " ")
-    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    return F.array_distinct(F.transform(
-        F.sequence(F.lit(1), k),
-        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-    ))
+    k = F.size(words) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.array_distinct(
+        F.when(k >= 1, grams).otherwise(
+            F.array().cast("array<string>")))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = 16,
@@ -167,6 +173,39 @@ def minhash_lsh_pairs(docs: DataFrame, num_hashes: int = 16,
                          F.col("doc_id").alias("doc_b")))
     ok_retry = verify(retry_small.union(retry_big).distinct())
     return ok_small.union(ok_hub).union(ok_retry).distinct()
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  n: int = 13) -> DataFrame:
+    """Benchmark decontamination — the standard pre-training hygiene
+    pass beside dedup: flag every document sharing any word n-gram
+    with an evaluation set (n=13 is the published convention for
+    contamination sweeps; lower it for short texts).  Returns one row
+    per input document: ``matched_ngrams`` (distinct benchmark grams
+    the doc contains) and ``contaminated`` (0/1).
+
+    Scale shape: the benchmark gram set is small by construction
+    (eval suites are MBs against a 100 TB corpus) and is broadcast —
+    the corpus side is one exploded projection + a hash-partitioned
+    groupBy(doc_id), no shuffle of the corpus against itself and no
+    UDF anywhere."""
+    bg = (benchmark
+          .select(F.explode(_word_shingles(F.col("text"), n))
+                  .alias("gram"))
+          .distinct())
+    dg = (docs.select(F.col("doc_id").cast("string").alias("doc_id"),
+                      F.explode(_word_shingles(F.col("text"), n))
+                      .alias("gram")))
+    hits = (dg.join(F.broadcast(bg), "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("m")))
+    return (docs.select(F.col("doc_id").cast("string").alias("doc_id"))
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("m", F.lit(0)).cast("int")
+                    .alias("matched_ngrams"),
+                    (F.coalesce("m", F.lit(0)) > 0).cast("int")
+                    .alias("contaminated")))
 
 
 def _char_ngrams(col, n: int = 3):

@@ -466,3 +466,40 @@ def test_prefix_filter_candidate_completeness(data):
             j = inter / (len(sets[a]) + len(sets[b]) - inter)
             if j >= t:
                 assert (a, b) in cands, (sets[a], sets[b], t, j)
+
+
+def test_decontaminate_planted(spark):
+    """Docs copying a benchmark n-gram are flagged; clean docs are not;
+    a doc shorter than n words can never match (and never errors on
+    the slice(words, 0, n) pitfall)."""
+    bench = spark.createDataFrame(
+        [("the secret eval answer is forty two",)], "text string")
+    docs = spark.createDataFrame(
+        [("leak", "prefix the secret eval answer is forty two suffix"),
+         ("clean", "a completely unrelated document about token packing"),
+         ("partial", "the secret handshake is different here entirely"),
+         ("tiny", "secret eval")],
+        "doc_id string, text string")
+    got = {r["doc_id"]: (r["matched_ngrams"], r["contaminated"])
+           for r in dataops.decontaminate(docs, bench, n=4).collect()}
+    assert got["leak"][1] == 1 and got["leak"][0] >= 4
+    assert got["clean"] == (0, 0)
+    assert got["partial"] == (0, 0)
+    assert got["tiny"] == (0, 0)
+
+
+def test_word_shingles_short_docs_empty(spark):
+    """_word_shingles yields an EMPTY set below n words — the
+    descending sequence(1, k<1) would otherwise slice at start 0, a
+    runtime error that surfaced for n=13-gram decontamination over
+    10-word documents."""
+    docs = spark.createDataFrame(
+        [("a", "one two"), ("b", "one two three"), ("c", "")],
+        "doc_id string, text string")
+    from pyspark.sql import functions as SF
+    rows = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", dataops._word_shingles(SF.col("text"), 3).alias("sh")
+        ).collect()}
+    assert rows["a"] == []
+    assert rows["b"] == ["one two three"]
+    assert rows["c"] == []

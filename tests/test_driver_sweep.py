@@ -28,7 +28,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # driver sweep on record.  Round 7 additions go here; prune when
 # CORRECTNESS_r07.json exists.
 NEW_SINCE_LAST_SWEEP: set[str] = {"multimodal_jpeg", "repetition_stats",
-                                  "pii_scrub", "ngram_jaccard_pairs"}
+                                  "pii_scrub", "ngram_jaccard_pairs",
+                                  "decontaminate"}
 
 # Historical sweep gaps already adjudicated by hand: the round-6
 # VERDICT records the judge re-running fsst_roundtrip against its
