@@ -1305,7 +1305,20 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration ORDER is load-bearing: the driver's sweep records
+    # exactly the FIRST 50 entries (measured r6: 50/51, r7: 50/56), so
+    # never/rarely-driver-checked queries occupy the head slots and six
+    # long-green roundtrip queries rotate to the tail (each has green
+    # driver rows in CORRECTNESS_r01..r07; the rotation is recorded in
+    # tests/test_driver_sweep.py ROTATED_TO_TAIL so the sweep tripwire
+    # stays armed for everything else).
     return {
+        "multimodal_featurize": q_multimodal_featurize,
+        "multimodal_frames": q_multimodal_frames,
+        "multimodal_real": q_multimodal_real,
+        "multimodal_png": q_multimodal_png,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "fsst_roundtrip": q_fsst_roundtrip,
         "tokenize_documents": q_tokenize_documents,
         "bitcount_partkey": q_bitcount_partkey,
         "ibp_roundtrip_by_source": q_ibp_roundtrip_by_source,
@@ -1322,15 +1335,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_val_split": q_train_val_split,
         "kmeans_roundtrip_by_source": q_kmeans_roundtrip_by_source,
         "kmeans_vs_global_ratio": q_kmeans_vs_global_ratio,
-        "kmeans_vs_global_shape": q_kmeans_vs_global_shape,
         "codec_docs_by_source": q_codec_docs_by_source,
         "bitcount64_orderkey": q_bitcount64_orderkey,
-        "ibp64_roundtrip_by_source": q_ibp64_roundtrip_by_source,
         "bitcount16_suppkey": q_bitcount16_suppkey,
-        "ibp16_roundtrip_by_source": q_ibp16_roundtrip_by_source,
-        "ibp8_roundtrip_by_source": q_ibp8_roundtrip_by_source,
-        "float32_roundtrip_by_source": q_float32_roundtrip_by_source,
-        "float64_roundtrip_by_source": q_float64_roundtrip_by_source,
         "embedding_ibp_ratio": q_embedding_ibp_ratio,
         "lineitem_colstats": q_lineitem_colstats,
         "token_stats_per_source": q_token_stats_per_source,
@@ -1356,12 +1363,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "lang_id": q_lang_id,
         "pii_scrub": q_pii_scrub,
-        "multimodal_featurize": q_multimodal_featurize,
-        "multimodal_frames": q_multimodal_frames,
-        "multimodal_real": q_multimodal_real,
-        "multimodal_png": q_multimodal_png,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "fsst_roundtrip": q_fsst_roundtrip,
+        # -- rotated-to-tail (positions 51-56): long-green queries with
+        # driver rows in every round through r07; the 50-row sweep cap
+        # will skip them this round BY DESIGN so the head queries above
+        # get their first driver rows (see ROTATED_TO_TAIL in
+        # tests/test_driver_sweep.py)
+        "ibp64_roundtrip_by_source": q_ibp64_roundtrip_by_source,
+        "ibp16_roundtrip_by_source": q_ibp16_roundtrip_by_source,
+        "ibp8_roundtrip_by_source": q_ibp8_roundtrip_by_source,
+        "float32_roundtrip_by_source": q_float32_roundtrip_by_source,
+        "float64_roundtrip_by_source": q_float64_roundtrip_by_source,
+        "kmeans_vs_global_shape": q_kmeans_vs_global_shape,
     }
 
 
