@@ -22,25 +22,64 @@ from __future__ import annotations
 from pyspark.sql import SparkSession
 
 
+def local_root(p: str) -> str | None:
+    """Local-filesystem path for ``p`` when it addresses the local FS
+    (bare path or a ``file:`` URI), else None.  Lets metadata-heavy
+    callers (lineage reads, wave-directory probes) skip the per-call
+    py4j round trip — ~0.5-1 ms each, and the pipeline's mutation
+    verbs make dozens per commit — while hdfs:/s3a: targets keep the
+    Hadoop FileSystem route unchanged."""
+    if "://" in p:
+        return None
+    if p.startswith("file:"):
+        p = p[len("file:"):]
+        # file:///x and file:/x both mean /x; file://host/x is remote
+        if p.startswith("//"):
+            rest = p[2:]
+            if not rest.startswith("/"):
+                return None
+            p = rest
+    return p
+
+
 class HadoopFS:
-    """Thin py4j wrapper over the FileSystem owning a given path."""
+    """Thin py4j wrapper over the FileSystem owning a given path, with
+    a direct ``os`` fast path when that FileSystem is the local one
+    (semantics identical; only the transport differs)."""
 
     def __init__(self, spark: SparkSession, base_path: str):
         self._jvm = spark._jvm
         self._conf = spark._jsc.hadoopConfiguration()
         self._fs = self._path(base_path).getFileSystem(self._conf)
+        # the fast path keys on the BASE path's filesystem: all pipeline
+        # metadata lives under output_dir, so mixed-scheme calls resolve
+        # per call below (local_root of the argument, not the base)
+        self._base_local = local_root(base_path) is not None
 
     def _path(self, p: str):
         return self._jvm.org.apache.hadoop.fs.Path(p)
 
+    def _local(self, p: str) -> str | None:
+        if not self._base_local:
+            return None
+        return local_root(p)
+
     # -- predicates ------------------------------------------------------
 
     def exists(self, p: str) -> bool:
+        lp = self._local(p)
+        if lp is not None:
+            import os
+            return os.path.exists(lp)
         return bool(self._fs.exists(self._path(p)))
 
     # -- whole-file text I/O ----------------------------------------------
 
     def read_text(self, p: str) -> str:
+        lp = self._local(p)
+        if lp is not None:
+            with open(lp, "r", encoding="utf-8") as fh:
+                return fh.read()
         stream = self._fs.open(self._path(p))
         try:
             out = self._jvm.java.io.ByteArrayOutputStream()
@@ -56,6 +95,15 @@ class HadoopFS:
         atomic in the POSIX sense, but the tmp-file pattern still
         guarantees no reader ever sees a partially written file at the
         final path."""
+        lp = self._local(p)
+        if lp is not None:
+            import os
+            os.makedirs(os.path.dirname(lp), exist_ok=True)
+            tmp = lp + ".tmp"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(text)
+            os.replace(tmp, lp)
+            return
         target = self._path(p)
         self._fs.mkdirs(target.getParent())
         tmp = self._path(p + ".tmp")
@@ -79,14 +127,45 @@ class HadoopFS:
     # -- tree ops ----------------------------------------------------------
 
     def delete(self, p: str, recursive: bool = True) -> bool:
+        lp = self._local(p)
+        if lp is not None:
+            import os
+            import shutil
+            if not os.path.exists(lp):
+                return False
+            if os.path.isdir(lp):
+                if recursive:
+                    shutil.rmtree(lp)
+                else:
+                    try:
+                        os.rmdir(lp)
+                    except OSError:
+                        return False
+            else:
+                os.remove(lp)
+            return True
         return bool(self._fs.delete(self._path(p), recursive))
 
     def rename(self, src: str, dst: str) -> None:
+        ls, ld = self._local(src), self._local(dst)
+        if ls is not None and ld is not None:
+            import os
+            # Hadoop local rename refuses to clobber an existing dir;
+            # callers always delete the target first, so plain rename
+            # keeps the same failure surface
+            os.rename(ls, ld)
+            return
         if not self._fs.rename(self._path(src), self._path(dst)):
             raise IOError(f"rename failed: {src} -> {dst}")
 
     def listdir(self, p: str) -> list[str]:
         """Child names (not paths) of a directory; [] if absent."""
+        lp = self._local(p)
+        if lp is not None:
+            import os
+            if not os.path.isdir(lp):
+                return []
+            return os.listdir(lp)
         if not self.exists(p):
             return []
         return [str(s.getPath().getName())

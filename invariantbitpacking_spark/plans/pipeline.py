@@ -213,6 +213,43 @@ class CompressionPipeline:
             df = df.withColumn("commit_seq", F.lit(0).cast("long"))
         return df
 
+    def _lineage_pdf(self):
+        """Lineage as a driver-side pandas frame when the store lives
+        on the LOCAL filesystem, else None (caller uses the Spark
+        path).  The lineage table is tiny metadata (<= one row per
+        bucket per commit), but every mutation verb used to read it
+        through 2-4 separate Spark jobs — ~0.2-0.6 s of fixed
+        scheduler+worker cost EACH on this box, the dominant wall of
+        the 100-doc tombstone delete.  Reading the same parquet files
+        with pyarrow costs ~2 ms and returns identical rows; hdfs:/
+        s3a: stores keep the distributed read."""
+        from .fsio import local_root
+
+        root = local_root(self.lineage_dir)
+        if root is None:
+            return None
+        self._heal_lineage()
+        import os
+
+        import pandas as pd
+
+        cols = [f.split(" ")[0] for f in LINEAGE_SCHEMA.split(", ")]
+        if not os.path.isdir(root):
+            return pd.DataFrame(columns=cols)
+        import pyarrow.parquet as pq
+
+        frames = []
+        for name in sorted(os.listdir(root)):
+            if not name.endswith(".parquet"):
+                continue
+            pdf = pq.read_table(os.path.join(root, name)).to_pandas()
+            if "commit_seq" not in pdf.columns:
+                pdf["commit_seq"] = 0  # pre-commit_seq back-compat
+            frames.append(pdf)
+        if not frames:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(frames, ignore_index=True)
+
     def _next_commit_seq(self) -> int:
         """Monotonic per-pipeline commit sequence number: the
         committed_at float ties when two commits of the same bucket
@@ -220,11 +257,20 @@ class CompressionPipeline:
         tie would let latest_lineage surface a superseded checksum.
         Derived from stored state (max over the tiny lineage table)
         so it survives across pipeline object instances."""
+        pdf = self._lineage_pdf()
+        if pdf is not None:
+            return (0 if len(pdf) == 0
+                    else int(pdf["commit_seq"].max())) + 1
         row = self.lineage().agg(
             F.max("commit_seq").alias("m")).collect()[0]
         return int(row["m"] or 0) + 1
 
     def committed_buckets(self, snapshot_id: str) -> set[int]:
+        pdf = self._lineage_pdf()
+        if pdf is not None:
+            sel = pdf[(pdf["snapshot_id"] == snapshot_id)
+                      & (pdf["status"] == "committed")]
+            return {int(b) for b in sel["bucket"]}
         rows = (self.lineage()
                 .filter((F.col("snapshot_id") == snapshot_id)
                         & (F.col("status") == "committed"))
@@ -248,6 +294,31 @@ class CompressionPipeline:
             F.desc("commit_seq"), F.desc("committed_at"))
         return (lin.withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") == 1).drop("rn"))
+
+    def _latest_lineage_map(self, snapshot_id: str,
+                            buckets=None) -> dict[int, dict]:
+        """Driver-side twin of :meth:`latest_lineage` for consumers
+        that COLLECT the result anyway: {bucket: latest committed row
+        as a plain dict}.  Same latest-wins order (commit_seq desc,
+        committed_at desc)."""
+        pdf = self._lineage_pdf()
+        if pdf is None:
+            df = self.latest_lineage(snapshot_id)
+            if buckets is not None:
+                df = df.filter(F.col("bucket").isin(list(buckets)))
+            return {int(r["bucket"]): r.asDict() for r in df.collect()}
+        sel = pdf[(pdf["snapshot_id"] == snapshot_id)
+                  & (pdf["status"] == "committed")]
+        if buckets is not None:
+            sel = sel[sel["bucket"].isin(set(int(b) for b in buckets))]
+        out: dict[int, dict] = {}
+        if len(sel) == 0:
+            return out
+        sel = sel.sort_values(["commit_seq", "committed_at"],
+                              kind="stable")
+        for rec in sel.to_dict("records"):  # later rows overwrite
+            out[int(rec["bucket"])] = rec
+        return out
 
     # -- params ------------------------------------------------------------
 
@@ -374,6 +445,11 @@ class CompressionPipeline:
         (the delta commit appends lineage rows carrying the delta's own
         seq), so any delta dir above it is an orphan from a crashed
         append."""
+        pdf = self._lineage_pdf()
+        if pdf is not None:
+            sel = pdf[(pdf["snapshot_id"] == snapshot_id)
+                      & (pdf["status"] == "committed")]
+            return 0 if len(sel) == 0 else int(sel["commit_seq"].max())
         row = (self.lineage()
                .filter((F.col("snapshot_id") == snapshot_id)
                        & (F.col("status") == "committed"))
@@ -677,16 +753,43 @@ class CompressionPipeline:
         return stats
 
     def _append_lineage_rows(self, rows: list) -> None:
-        """One lineage commit = ONE parquet file, written from a
-        single-partition DataFrame.  ``createDataFrame(rows)`` slices
-        the tiny driver-side list into defaultParallelism pickled
-        partitions; the previous ``coalesce(1)`` then evaluated ALL of
-        them sequentially through the Python runner inside the one
-        coalesced task — ~115 ms of worker round-trip per slice, ~3.5 s
-        of pure overhead per commit at 32 cores (measured: the same
-        one-row append is 3.85 s via coalesce(1), 0.29 s via a 1-slice
-        parallelize).  Every mutation verb pays this once per wave, so
-        it dominated the tombstone-delete wall."""
+        """One lineage commit = ONE parquet file.  On a local store the
+        file is written DRIVER-side with pyarrow — no Spark job at all
+        (round 7 already cut this from 3.85 s [coalesce(1) python-slice
+        tax] to 0.29 s [1-slice parallelize]; the remaining 0.29 s was
+        still one full scheduler+python-worker round trip for a <=
+        num_buckets-row metadata write).  Types mirror LINEAGE_SCHEMA
+        exactly so Spark and pyarrow readers see one schema.  Remote
+        stores keep the Spark write."""
+        from .fsio import local_root
+
+        root = local_root(self.lineage_dir)
+        if root is not None:
+            import os
+            import uuid
+
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            schema = pa.schema([
+                ("snapshot_id", pa.string()), ("bucket", pa.int32()),
+                ("status", pa.string()), ("docs", pa.int64()),
+                ("tokens", pa.int64()), ("raw_bytes", pa.int64()),
+                ("comp_bytes", pa.int64()), ("codec_mix", pa.string()),
+                ("payload_xxh", pa.int64()), ("wall_sec", pa.float64()),
+                ("committed_at", pa.float64()),
+                ("commit_seq", pa.int64()),
+            ])
+            cols = list(zip(*rows)) if rows else [[] for _ in schema]
+            table = pa.table(
+                {f.name: pa.array(list(c), f.type)
+                 for f, c in zip(schema, cols)}, schema=schema)
+            os.makedirs(root, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(root, f".{name}.tmp")  # dotfile: readers skip
+            pq.write_table(table, tmp, compression="snappy")
+            os.replace(tmp, os.path.join(root, name))
+            return
         (self.spark.createDataFrame(
             self.spark.sparkContext.parallelize(rows, 1), LINEAGE_SCHEMA)
          .write.mode("append").parquet(self.lineage_dir))
@@ -992,9 +1095,7 @@ class CompressionPipeline:
         a structural invariant (the orphan purge depends on it).
         Returns the per-bucket ADDED-minus-REPLACED dicts so the
         caller's running totals stay meaningful."""
-        old = {int(r["bucket"]): r for r in
-               self.latest_lineage(snapshot_id)
-               .filter(F.col("bucket").isin(wave)).collect()}
+        old = self._latest_lineage_map(snapshot_id, wave)
         agg: dict[int, dict] = {}
 
         def acc(rows, sign):
@@ -1191,6 +1292,17 @@ class CompressionPipeline:
                 "finish run() before deleting")
         nb = self.num_buckets
         fsst_table = self._fsst_table(snapshot_id)
+        if strategy == "tombstone":
+            # Bounded victim sets take the driver fast path: the bucket
+            # salt and FSST key encoding are computed driver-side
+            # (exactly as fetch() does), so the whole verb costs ONE
+            # thin-column scan + one marker write instead of four-plus
+            # scheduler round trips.  An id set too large to collect
+            # falls back to the DataFrame path below.
+            id_list = self._collect_delete_ids(ids)
+            if id_list is not None:
+                return self._delete_tombstone_fast(id_list, snapshot_id,
+                                                   fsst_table)
         salted = ids.select(
             F.col("doc_id").cast("string").alias("doc_id")).withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(nb)).cast("int"))
@@ -1271,6 +1383,196 @@ class CompressionPipeline:
                               nb - len(affected), totals["docs"],
                               totals["tokens"], totals["raw_bytes"],
                               totals["comp_bytes"])
+
+    # ids below this bound are deleted via the driver fast path (collect
+    # the id strings, salt/encode them driver-side); larger sets keep the
+    # DataFrame path.  100k ids ~= a few MB of driver strings — the same
+    # cost class as fetch()'s id list and the delta-append key broadcast.
+    MAX_DRIVER_DELETE_IDS = 100_000
+
+    def _collect_delete_ids(self, ids: DataFrame) -> list | None:
+        """The distinct requested doc_ids as a driver-side sorted list,
+        or None when the set exceeds MAX_DRIVER_DELETE_IDS (caller
+        falls back to the DataFrame path)."""
+        cap = self.MAX_DRIVER_DELETE_IDS
+        rows = (ids.select(F.col("doc_id").cast("string").alias("doc_id"))
+                .limit(cap + 1).collect())
+        if len(rows) > cap:
+            return None
+        return sorted({r["doc_id"] for r in rows})
+
+    def _delete_tombstone_fast(self, id_list: list, snapshot_id: str,
+                               fsst_table) -> PipelineResult:
+        """Driver fast path of the O(delta) tombstone delete — same
+        markers, same lineage rows, same idempotence as
+        :meth:`_delete_tombstone`, structured as exactly ONE
+        distributed scan plus one tiny write:
+
+        1. bucket salt + FSST key encoding driver-side (fetch()'s
+           trick: the encoding is deterministic, byte equality IS id
+           equality), so the victim lookup is a literal ``IN``
+           predicate that reaches the parquet scan as a PushedFilter —
+           row groups are skipped by doc_id min/max AND the doc_id
+           bloom filter, where the old broadcast semi-join could only
+           prune whole files;
+        2. one thin-column scan collects the victims' (bucket, doc_id,
+           codec, n_tok, raw_bytes, comp_bytes, row_xxh) — bounded by
+           len(id_list) — and the replaced-stats aggregation happens
+           driver-side (sums and XOR-folds compose identically);
+        3. marker rows are BUILT driver-side from the collected
+           victims (the old path re-ran the resolved-view semi-join a
+           second time just to project three columns) and land as one
+           single-partition write;
+        4. lineage read/append ride the pyarrow metadata path —
+           zero Spark jobs.
+
+        Measured (sf0.1 store, 100-doc batch, local[32]): 5.0 s -> the
+        q9 number in OPTIMIZATION_r08.md; phase breakdown in
+        scripts/profile_r08.py."""
+        nb = self.num_buckets
+        self._purge_orphan_deltas(snapshot_id)
+        from ..functions.hashing import bucket_of
+
+        affected = sorted({bucket_of(d, nb) for d in id_list})
+        if not affected:
+            return PipelineResult(snapshot_id, 0, nb, 0, 0, 0, 0)
+        t0 = time.perf_counter()
+        try:
+            cur = self._resolved(snapshot_id, affected)
+        except ValueError:
+            return PipelineResult(snapshot_id, 0, nb, 0, 0, 0, 0)
+        is_binary = dict(cur.dtypes).get("doc_id") == "binary"
+        if fsst_table is not None and is_binary:
+            key_vals = fstr.encode_id_literals(id_list, fsst_table)
+        else:
+            key_vals = id_list
+        hits = cur.filter(F.col("doc_id").isin(key_vals))
+        thin = ["bucket", "doc_id", "codec", "n_tok",
+                "raw_bytes", "comp_bytes"]
+        if "row_xxh" in cur.columns:
+            victims = hits.select(*thin, "row_xxh").collect()
+            if any(r["row_xxh"] is None for r in victims):
+                # legacy base without persisted row hashes: one more
+                # pass hashing payload (documented degradation, same
+                # as _replaced_stats)
+                victims = hits.select(
+                    *thin, F.xxhash64("payload").alias("row_xxh")
+                ).collect()
+        else:
+            victims = hits.select(
+                *thin, F.xxhash64("payload").alias("row_xxh")).collect()
+        if not victims:
+            # nothing matched: pure ghost delete, a no-op
+            return PipelineResult(snapshot_id, 0, nb, 0, 0, 0, 0)
+        # replaced-stats at (bucket, codec) grain, composed driver-side
+        # exactly as the _replaced_stats aggregation would (sums of
+        # sums; XOR of XOR-folds)
+        repl_agg: dict[tuple, dict] = {}
+        for r in victims:
+            k = (int(r["bucket"]), r["codec"])
+            a = repl_agg.setdefault(k, {
+                "bucket": k[0], "codec": k[1], "docs": 0, "tokens": 0,
+                "raw_bytes": 0, "comp_bytes": 0, "xxh": 0})
+            a["docs"] += 1
+            a["tokens"] += int(r["n_tok"])
+            a["raw_bytes"] += int(r["raw_bytes"])
+            a["comp_bytes"] += int(r["comp_bytes"])
+            a["xxh"] ^= int(r["row_xxh"])
+        repl = list(repl_agg.values())
+        seq = self._next_commit_seq()
+        if not self._write_tombstones_local(snapshot_id, seq, victims,
+                                            is_binary, fsst_table):
+            src_t = "binary" if fsst_table is not None else "string"
+            id_t = "binary" if is_binary else "string"
+            tomb_schema = (
+                f"snapshot_id string, doc_id {id_t}, bucket int, "
+                f"source {src_t}, n_tok int, n_blocks int, "
+                "block_sizes array<int>, block_flags binary, "
+                "payload binary, comp_bytes long, raw_bytes long, "
+                "codec string, row_xxh long, delta_seq long")
+            tomb_rows = [
+                (snapshot_id,
+                 bytes(r["doc_id"]) if is_binary else r["doc_id"],
+                 int(r["bucket"]), None, 0, 0, [], None, None, 0, 0,
+                 TOMBSTONE_CODEC, 0, seq)
+                for r in victims]
+            tomb = self.spark.createDataFrame(
+                self.spark.sparkContext.parallelize(tomb_rows, 1),
+                tomb_schema)
+            (tomb.write.mode("append")
+             .partitionBy("snapshot_id", "bucket", "delta_seq")
+             .parquet(self.delta_dir))
+        wall = time.perf_counter() - t0
+        totals = {"docs": 0, "tokens": 0, "raw_bytes": 0, "comp_bytes": 0}
+        for r in self._commit_delta_wave(snapshot_id, affected, repl, [],
+                                         wall, seq):
+            for k in totals:
+                totals[k] -= int(r[k])  # removed amounts, as positives
+        self._maybe_compact_deltas(snapshot_id, affected)
+        return PipelineResult(snapshot_id, len(affected),
+                              nb - len(affected), totals["docs"],
+                              totals["tokens"], totals["raw_bytes"],
+                              totals["comp_bytes"])
+
+    def _write_tombstones_local(self, snapshot_id: str, seq: int,
+                                victims, is_binary: bool,
+                                fsst_table) -> bool:
+        """Driver-side tombstone-marker write for LOCAL stores: the
+        markers are <= len(ids) rows spread over <= num_buckets delta
+        dirs, but the Spark dynamic-partition write paid ~1.0 s of
+        commit-protocol fixed cost (measured, 100 rows / 32 dirs /
+        local[32]).  One pyarrow file per bucket dir, tmp + rename,
+        column types matching the Spark-written delta files exactly.
+        Returns False when the store is not local (caller uses the
+        Spark write)."""
+        from .fsio import local_root
+
+        root = local_root(self.delta_dir)
+        if root is None:
+            return False
+        import os
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        id_t = pa.binary() if is_binary else pa.string()
+        src_t = pa.binary() if fsst_table is not None else pa.string()
+        schema = pa.schema([
+            ("doc_id", id_t), ("source", src_t),
+            ("n_tok", pa.int32()), ("n_blocks", pa.int32()),
+            ("block_sizes", pa.list_(pa.int32())),
+            ("block_flags", pa.binary()), ("payload", pa.binary()),
+            ("comp_bytes", pa.int64()), ("raw_bytes", pa.int64()),
+            ("codec", pa.string()), ("row_xxh", pa.int64()),
+        ])
+        by_bucket: dict[int, list] = {}
+        for r in victims:
+            by_bucket.setdefault(int(r["bucket"]), []).append(
+                bytes(r["doc_id"]) if is_binary else r["doc_id"])
+        for b, ids in sorted(by_bucket.items()):
+            n = len(ids)
+            table = pa.table({
+                "doc_id": pa.array(ids, id_t),
+                "source": pa.array([None] * n, src_t),
+                "n_tok": pa.array([0] * n, pa.int32()),
+                "n_blocks": pa.array([0] * n, pa.int32()),
+                "block_sizes": pa.array([[]] * n, pa.list_(pa.int32())),
+                "block_flags": pa.array([None] * n, pa.binary()),
+                "payload": pa.array([None] * n, pa.binary()),
+                "comp_bytes": pa.array([0] * n, pa.int64()),
+                "raw_bytes": pa.array([0] * n, pa.int64()),
+                "codec": pa.array([TOMBSTONE_CODEC] * n, pa.string()),
+                "row_xxh": pa.array([0] * n, pa.int64()),
+            }, schema=schema)
+            d = os.path.join(root, f"snapshot_id={snapshot_id}",
+                             f"bucket={b}", f"delta_seq={seq}")
+            os.makedirs(d, exist_ok=True)
+            name = f"part-{uuid.uuid4().hex}.parquet"
+            tmp = os.path.join(d, f".{name}.tmp")
+            pq.write_table(table, tmp, compression="snappy")
+            os.replace(tmp, os.path.join(d, name))
+        return True
 
     def _delete_tombstone(self, salted: DataFrame, snapshot_id: str,
                           fsst_table, affected: list) -> PipelineResult:
