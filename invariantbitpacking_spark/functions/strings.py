@@ -122,6 +122,22 @@ def _string_mass_ranges(rb, names, cols, cap):
     return _mass_ranges(mass, cap)
 
 
+# Fusion tag: encode_string_cols marks its RESULT DataFrame with the
+# (source df, table bytes, cols) it was built from; decode_string_cols
+# fuses a DIRECT decode-of-encode composition into ONE mapInArrow that
+# runs both kernels in a single Python eval.  The per-task Python
+# runner protocol costs ~10 ms per eval on this box (measured: a
+# warm PASSTHROUGH mapInArrow over 64 partitions is 0.73 s wall while
+# the FSST kernels are ~3 ms/task), so a chained enc->dec pays the
+# boundary twice for string payloads that are a few KB per task.  The
+# tag lives on the exact returned object only — any intervening
+# transformation produces a new DataFrame without it, so fusion never
+# fires across filters/projections.  Both kernels still run
+# per batch; only the redundant JVM<->Python round trip is removed
+# (guide §4: control how many times columns cross the boundary).
+_FUSE_TAG = "_ibp_fsst_encode_of"
+
+
 def encode_string_cols(df: DataFrame, table: np.ndarray,
                        cols=("doc_id", "source"),
                        mass_cap: int | None = None) -> DataFrame:
@@ -159,7 +175,9 @@ def encode_string_cols(df: DataFrame, table: np.ndarray,
                         [None, pa.py_buffer(e_off), pa.py_buffer(e)])
                 yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return df.mapInArrow(enc, schema=_schema_with(df, cols, "binary"))
+    out = df.mapInArrow(enc, schema=_schema_with(df, cols, "binary"))
+    setattr(out, _FUSE_TAG, (df, table_to_hex(table), cols, cap))
+    return out
 
 
 def decode_string_cols(df: DataFrame, table: np.ndarray,
@@ -167,7 +185,15 @@ def decode_string_cols(df: DataFrame, table: np.ndarray,
                        mass_cap: int | None = None) -> DataFrame:
     """Inverse of :func:`encode_string_cols` (``mapInArrow``; decoded
     UTF-8 leaves as a zero-copy StringArray).  Sub-batches by ENCODED
-    byte mass (default ``_DEC_MASS_CAP`` — decode expands up to 8x)."""
+    byte mass (default ``_DEC_MASS_CAP`` — decode expands up to 8x).
+
+    A decode applied DIRECTLY to an encode's result with the same
+    table fuses into one Python eval (see ``_FUSE_TAG``)."""
+    fuse = getattr(df, _FUSE_TAG, None)
+    if (fuse is not None and fuse[1] == table_to_hex(table)
+            and set(c for c in cols if c in df.columns) == set(fuse[2])):
+        return _roundtrip_string_cols(fuse[0], table, fuse[2], fuse[3],
+                                      mass_cap)
     cols = tuple(c for c in cols if c in df.columns)
     cap = _DEC_MASS_CAP if mass_cap is None else mass_cap
 
@@ -194,3 +220,39 @@ def decode_string_cols(df: DataFrame, table: np.ndarray,
                 yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     return df.mapInArrow(dec, schema=_schema_with(df, cols, "string"))
+
+
+def _roundtrip_string_cols(df: DataFrame, table: np.ndarray, cols,
+                           enc_cap: int, dec_mass_cap: int | None
+                           ) -> DataFrame:
+    """Fused encode-then-decode of string columns in ONE ``mapInArrow``
+    (see ``_FUSE_TAG``): both kernels run per batch exactly as the
+    two-pass plan would — same sub-batching by UTF-8 byte mass, same
+    table — but the encoded bytes stay inside the Python worker
+    instead of crossing the JVM boundary twice."""
+
+    def rt(batches):
+        import pyarrow as pa
+
+        from ..operators.framing import gather_ranges
+        from ..operators.ibp import binary_array_flat
+
+        for rb in batches:
+            names = rb.schema.names
+            for i0, i1 in _string_mass_ranges(rb, names, cols, enc_cap):
+                sl = rb.slice(i0, i1 - i0)
+                arrays = list(sl.columns)
+                n = sl.num_rows
+                for c in cols:
+                    i = names.index(c)
+                    flat, starts, lens = binary_array_flat(arrays[i])
+                    flat = gather_ranges(flat, starts, lens)  # compact
+                    e, el = fsst.encode_strings(flat, lens, table)
+                    _offsets32(el, n)  # same guard as the two-pass plan
+                    d, dl = fsst.decode_strings(e, el, table)
+                    d_off = _offsets32(dl, n)
+                    arrays[i] = pa.StringArray.from_buffers(
+                        n, pa.py_buffer(d_off), pa.py_buffer(d))
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return df.mapInArrow(rt, schema=_schema_with(df, cols, "string"))

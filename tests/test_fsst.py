@@ -160,3 +160,42 @@ def test_string_cols_forced_byte_mass_split(spark, tokens_df):
         fstr.encode_string_cols(sub, table, mass_cap=64),
         table, mass_cap=64)
     assert {(r["doc_id"], r["source"]) for r in dec.collect()} == plain
+
+
+def test_roundtrip_fusion_identical_and_scoped(spark, tokens_df):
+    """decode(encode(df)) fuses into ONE mapInArrow (r08 optimization);
+    the fused plan must be value-identical to the unfused one, and the
+    fusion must NOT fire across an intervening transformation or a
+    different symbol table."""
+    from pyspark.sql import functions as F
+
+    from invariantbitpacking_spark.functions import strings as fstr
+    from invariantbitpacking_spark.codecs import fsst
+
+    sub = tokens_df.limit(150).coalesce(1)
+    table = fstr.learn_table_df(sub, ("doc_id", "source"))
+    plain = {(r["doc_id"], r["source"]) for r in sub.collect()}
+
+    enc = fstr.encode_string_cols(sub, table)
+    fused = fstr.decode_string_cols(enc, table)
+    # fused: a single ArrowEvalPython-class node in the plan
+    plan = fused._sc._jvm.PythonSQLUtils.explainString(
+        fused._jdf.queryExecution(), "formatted")
+    assert plan.count("MapInArrow") == 2  # 1 node: tree + detail
+    assert {(r["doc_id"], r["source"]) for r in fused.collect()} == plain
+
+    # intervening transformation -> no fusion, still correct
+    enc2 = fstr.encode_string_cols(sub, table).filter(F.lit(True))
+    unfused = fstr.decode_string_cols(enc2, table)
+    plan2 = unfused._sc._jvm.PythonSQLUtils.explainString(
+        unfused._jdf.queryExecution(), "formatted")
+    assert plan2.count("MapInArrow") == 4  # 2 nodes
+    assert {(r["doc_id"], r["source"]) for r in unfused.collect()} == plain
+
+    # different table -> no fusion (decode must use ITS table)
+    other = fsst.SymbolTable(table.syms[:1].copy(), table.lens[:1].copy())
+    enc3 = fstr.encode_string_cols(sub, table)
+    dec3 = fstr.decode_string_cols(enc3, other, ("doc_id", "source"))
+    plan3 = dec3._sc._jvm.PythonSQLUtils.explainString(
+        dec3._jdf.queryExecution(), "formatted")
+    assert plan3.count("MapInArrow") == 4  # 2 nodes
