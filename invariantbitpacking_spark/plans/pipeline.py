@@ -537,6 +537,56 @@ class CompressionPipeline:
         return [_join(self.delta_dir, f"snapshot_id={snapshot_id}",
                       f"bucket={b}") for b in have]
 
+    def _dir_schema(self, path: str, partition_fields):
+        """Read schema of a LOCAL parquet directory (walking into
+        partition subdirs for the first data file) and append the given
+        partition fields — sparing every bucket-pruned read its
+        driver-side schema-inference footer pass.  Field order mirrors
+        what discovery produces (data columns, then partition columns),
+        so supplied-schema and inferred reads are interchangeable.
+        Returns None when the path is not local or holds no parquet
+        file yet (caller falls back to inference)."""
+        from .fsio import local_root
+
+        root = local_root(path)
+        if root is None:
+            return None
+        import os
+
+        def first_parquet(d: str, depth: int):
+            try:
+                names = sorted(os.listdir(d))
+            except OSError:
+                return None
+            for n in names:
+                if n.endswith(".parquet") and not n.startswith((".", "_")):
+                    return os.path.join(d, n)
+            if depth > 0:
+                for n in names:
+                    sub = os.path.join(d, n)
+                    if os.path.isdir(sub):
+                        f = first_parquet(sub, depth - 1)
+                        if f is not None:
+                            return f
+            return None
+
+        f = first_parquet(root, 3)
+        if f is None:
+            return None
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+        from pyspark.sql.types import _parse_datatype_string, StructField
+
+        try:
+            sch = from_arrow_schema(pq.read_schema(f))
+        except Exception:
+            return None
+        have = {fl.name for fl in sch.fields}
+        for name, t in partition_fields:
+            if name not in have:
+                sch = sch.add(StructField(name, _parse_datatype_string(t)))
+        return sch
+
     @staticmethod
     def _latest_delta(deltas: DataFrame) -> DataFrame:
         """One row per (snapshot_id, doc_id), highest delta_seq wins.
@@ -574,9 +624,13 @@ class CompressionPipeline:
             if not base_paths:
                 base = None
             else:
-                base = (self.spark.read
-                        .option("basePath", self.data_dir)
-                        .parquet(*base_paths))
+                reader = self.spark.read.option("basePath", self.data_dir)
+                sch = self._dir_schema(base_paths[0],
+                                       (("snapshot_id", "string"),
+                                        ("bucket", "int")))
+                if sch is not None:
+                    reader = reader.schema(sch)
+                base = reader.parquet(*base_paths)
             delta_paths = self._delta_paths(snapshot_id, buckets)
         else:
             try:
@@ -603,8 +657,13 @@ class CompressionPipeline:
                 raise ValueError("nothing stored at "
                                  f"{self.data_dir} / {self.delta_dir}")
             return base
-        deltas = (self.spark.read.option("basePath", self.delta_dir)
-                  .parquet(*delta_paths))
+        dreader = self.spark.read.option("basePath", self.delta_dir)
+        dsch = self._dir_schema(delta_paths[0],
+                                (("snapshot_id", "string"),
+                                 ("bucket", "int"), ("delta_seq", "long")))
+        if dsch is not None:
+            dreader = dreader.schema(dsch)
+        deltas = dreader.parquet(*delta_paths)
         if as_of_seq is not None:
             deltas = deltas.filter(F.col("delta_seq") <= int(as_of_seq))
         latest = self._latest_delta(deltas)
